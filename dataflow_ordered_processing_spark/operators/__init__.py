@@ -1,0 +1,11 @@
+from .ordered_core import OrderedState, apply_batch, default_is_last, status_dict
+from .ordered_batch import ordered_emit_batch, ordered_status_batch
+
+__all__ = [
+    "OrderedState",
+    "apply_batch",
+    "default_is_last",
+    "status_dict",
+    "ordered_emit_batch",
+    "ordered_status_batch",
+]

@@ -1,0 +1,170 @@
+"""The per-key ordered-processing state machine — pure pandas/numpy.
+
+This is the engine analog of Beam's OrderedEventProcessor (consumed by the
+reference at order-book-pipeline/pom.xml:56-57; semantics pinned by
+reference docs/pipeline-design.md and
+OrderBookProcessingPipelineTest.java:91-195):
+
+  O1  events apply to per-key state in strictly increasing CONTIGUOUS
+      sequence; an event with seq == last_emitted+1 is processed immediately,
+      then any now-contiguous buffered events drain.
+  O2  the initial sequence number is configurable (here 1, as the reference's
+      OrderBookEventExaminer.java:33-37).
+  O4  a configurable predicate marks the per-key final event
+      (lastContractMessage analog) → state can be cleaned up.
+  O5  out-of-sequence events buffer until their predecessors arrive.
+  O6  events with seq <= last_emitted are discarded and counted as
+      duplicates (docs/pipeline-design.md:115-122). We additionally dedupe
+      inside the buffer (the reference leaves in-buffer duplicates
+      "unpredictable"; we define them: first arrival wins).
+  O7  every drained event is emitted immediately, in order.
+  O8  a status snapshot (OrderedProcessingStatus analog) is available after
+      every batch.
+
+Everything is vectorized: one numpy sort + one contiguity scan per
+(key, batch) — no per-row Python (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+INITIAL_TURN_IDX = 1
+END_ROLE = "system"
+END_TEXT = "__end__"
+
+# Buffer columns (ts as int64 epoch-micros: timezone- and Arrow-proof).
+BUF_COLS = ["turn_idx", "role", "text", "tool", "ts_us"]
+
+IsLastFn = Callable[[pd.DataFrame], np.ndarray]
+
+
+def default_is_last(pdf: pd.DataFrame) -> np.ndarray:
+    """lastContractMessage analog: sentinel final turn (FIXTURES.md §1)."""
+    return ((pdf["role"] == END_ROLE) & (pdf["text"] == END_TEXT)).to_numpy()
+
+
+def _empty_buffer() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "turn_idx": pd.Series(dtype="int64"),
+            "role": pd.Series(dtype="object"),
+            "text": pd.Series(dtype="object"),
+            "tool": pd.Series(dtype="object"),
+            "ts_us": pd.Series(dtype="int64"),
+        }
+    )
+
+
+@dataclass
+class OrderedState:
+    """Cursor + counters + sorted pending buffer for one key."""
+
+    last_emitted: int = INITIAL_TURN_IDX - 1
+    received_count: int = 0
+    result_count: int = 0
+    duplicate_count: int = 0
+    last_event_received: bool = False
+    buffer: pd.DataFrame = field(default_factory=_empty_buffer)
+
+    @property
+    def buffered_count(self) -> int:
+        return len(self.buffer)
+
+    @property
+    def earliest_buffered(self) -> int | None:
+        return int(self.buffer["turn_idx"].iloc[0]) if len(self.buffer) else None
+
+    @property
+    def latest_buffered(self) -> int | None:
+        return int(self.buffer["turn_idx"].iloc[-1]) if len(self.buffer) else None
+
+    @property
+    def complete(self) -> bool:
+        """Key finished: final event seen and nothing pending (→ state cleanup)."""
+        return self.last_event_received and self.buffered_count == 0
+
+
+def apply_batch(
+    state: OrderedState,
+    batch: pd.DataFrame,
+    is_last: IsLastFn = default_is_last,
+    max_emit: int | None = None,
+) -> pd.DataFrame:
+    """Feed one arrival batch for one key; mutate state; return emitted rows.
+
+    ``batch`` columns: BUF_COLS. Emitted rows come back in strict turn_idx
+    order with an ``emit_seq`` column (1-based per-key emission ordinal).
+    ``max_emit`` is the O9 safety valve (maxOutputElementsPerBundle analog,
+    OrderBookProcessingPipeline.java:85-89): a capped drain leaves the rest
+    contiguous in the buffer for the next trigger.
+    """
+    n_in = len(batch)
+    state.received_count += n_in
+
+    if n_in:
+        # Last-event detection happens on ARRIVAL (even if the event buffers),
+        # matching OrderedProcessingStatus.lastEventReceived semantics.
+        if bool(is_last(batch).any()):
+            state.last_event_received = True
+        combined = (
+            pd.concat([state.buffer, batch[BUF_COLS]], ignore_index=True)
+            if len(state.buffer)
+            else batch[BUF_COLS].reset_index(drop=True)
+        )
+    else:
+        combined = state.buffer
+
+    idx = combined["turn_idx"].to_numpy(dtype=np.int64, copy=False)
+
+    # Stable sort → earlier arrival (buffer before batch) wins on duplicates.
+    order = np.argsort(idx, kind="stable")
+    sorted_idx = idx[order]
+
+    # Drop already-emitted seqs and duplicate seqs, counting both (O6).
+    fresh = np.empty(len(sorted_idx), dtype=bool)
+    if len(sorted_idx):
+        fresh[0] = sorted_idx[0] > state.last_emitted
+        np.greater(sorted_idx[1:], sorted_idx[:-1], out=fresh[1:])
+        fresh[1:] &= sorted_idx[1:] > state.last_emitted
+    n_dropped = int(len(sorted_idx) - fresh.sum())
+    state.duplicate_count += n_dropped
+
+    keep = order[fresh]
+    kept_idx = sorted_idx[fresh]
+
+    # Maximal contiguous run starting at last_emitted + 1 (O1).
+    expect = state.last_emitted + 1 + np.arange(len(kept_idx), dtype=np.int64)
+    mismatch = np.nonzero(kept_idx != expect)[0]
+    n_emit = int(mismatch[0]) if len(mismatch) else len(kept_idx)
+    if max_emit is not None:
+        n_emit = min(n_emit, max_emit)
+
+    emitted = combined.iloc[keep[:n_emit]].reset_index(drop=True)
+    state.buffer = combined.iloc[keep[n_emit:]].reset_index(drop=True)
+
+    emitted["emit_seq"] = state.result_count + 1 + np.arange(n_emit, dtype=np.int64)
+    state.result_count += n_emit
+    if n_emit:
+        state.last_emitted = int(kept_idx[n_emit - 1])
+    return emitted
+
+
+def status_dict(conv_id: str, state: OrderedState) -> dict:
+    """OrderedProcessingStatus snapshot (field set from the reference's
+    ProcessingStatusToTableRowConverter.java:33-41)."""
+    return {
+        "conv_id": conv_id,
+        "last_emitted": state.last_emitted if state.result_count else None,
+        "buffered_count": state.buffered_count,
+        "earliest_buffered": state.earliest_buffered,
+        "latest_buffered": state.latest_buffered,
+        "received_count": state.received_count,
+        "result_count": state.result_count,
+        "duplicate_count": state.duplicate_count,
+        "last_event_received": state.last_event_received,
+    }

@@ -1,0 +1,86 @@
+"""Explicit schemas — declared once, never inferred.
+
+Mirrors the reference's three-layer schema discipline (proto IDL +
+hand-written coders + BigQuery JSON schemas; see reference
+business-model/src/main/proto/marketdata.proto and
+terraform/bigquery-schema/*.json) collapsed into Spark StructTypes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input table (BASELINE.json input_hint).
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# Ordered output = input columns + emission metadata.
+ORDERED_OUTPUT_SCHEMA = T.StructType(
+    list(TRANSCRIPT_SCHEMA.fields)
+    + [T.StructField("emit_seq", T.LongType(), False)]  # 1-based per-key emission ordinal
+)
+
+# OrderedProcessingStatus analog — field set from the reference's
+# ProcessingStatusToTableRowConverter.java:33-41 /
+# terraform/bigquery-schema/processing-status.json.
+STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("status_ts", T.TimestampType(), True),
+        T.StructField("last_emitted", T.LongType(), True),
+        T.StructField("buffered_count", T.LongType(), False),
+        T.StructField("earliest_buffered", T.LongType(), True),
+        T.StructField("latest_buffered", T.LongType(), True),
+        T.StructField("received_count", T.LongType(), False),
+        T.StructField("result_count", T.LongType(), False),
+        T.StructField("duplicate_count", T.LongType(), False),
+        T.StructField("last_event_received", T.BooleanType(), False),
+    ]
+)
+
+# Unified streaming output: one stateful operator emits both data rows and
+# status rows (discriminated by row_type) — the dual-output pattern of
+# OrderBookProcessingPipeline.java:107-120 folded into a single schema so a
+# single applyInPandasWithState query can feed both sinks via foreachBatch.
+STREAM_OUTPUT_SCHEMA = T.StructType(
+    [T.StructField("row_type", T.StringType(), False)]  # 'data' | 'status'
+    + list(ORDERED_OUTPUT_SCHEMA.fields)
+    + [f for f in STATUS_SCHEMA.fields if f.name not in ("conv_id",)]
+)
+
+# applyInPandasWithState state struct: cursor + counters + columnar buffer of
+# pending (out-of-sequence) rows. The buffer is parallel arrays (not an array
+# of structs) so the pandas side can go straight to numpy without object
+# boxing. ts stored as int64 epoch-micros (timezone-proof).
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_emitted", T.LongType(), False),
+        T.StructField("received_count", T.LongType(), False),
+        T.StructField("result_count", T.LongType(), False),
+        T.StructField("duplicate_count", T.LongType(), False),
+        T.StructField("last_event_received", T.BooleanType(), False),
+        T.StructField("buf_turn_idx", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_role", T.ArrayType(T.StringType()), True),
+        T.StructField("buf_text", T.ArrayType(T.StringType()), True),
+        T.StructField("buf_tool", T.ArrayType(T.StringType()), True),
+        T.StructField("buf_ts_us", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+SINK_SCHEMA = T.StructType(
+    list(ORDERED_OUTPUT_SCHEMA.fields)
+    + [T.StructField("ingest_ts", T.TimestampType(), True)]
+)
+
+
+def ddl(schema: T.StructType) -> str:
+    """Schema as a DDL string (for applyInPandas signatures)."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)

@@ -1,0 +1,105 @@
+"""Batch ordering operator: SQL impl ≡ pandas impl ≡ serial oracle, and the
+transcripts derivation is bit-identical between Spark and DuckDB (the
+foundation of every oracle_sql() entry)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dataflow_ordered_processing_spark.operators.ordered_batch import (
+    ordered_emit_batch,
+    ordered_status_batch,
+)
+from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+from dataflow_ordered_processing_spark.sources.scenarios import scenario, serial_oracle
+from dataflow_ordered_processing_spark.sources.transcripts import (
+    TRANSCRIPTS_SQL,
+    derive_transcripts,
+    shuffled_arrival,
+)
+
+CMP = ["conv_id", "turn_idx", "role", "text", "tool", "emit_seq"]
+
+
+def _spark_df(spark, batches):
+    pdf = pd.concat(batches, ignore_index=True)
+    return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+
+@pytest.mark.parametrize("name", ["duplicates", "multi_conversation", "gap_never_arrives", "skewed"])
+@pytest.mark.parametrize("impl", ["sql", "pandas"])
+def test_batch_matches_serial_oracle(spark, name, impl):
+    batches = scenario(name)
+    df = _spark_df(spark, batches)
+    got = (
+        ordered_emit_batch(df, impl=impl)
+        .select(*CMP)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        serial_oracle(batches)[CMP].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_status_batch(spark):
+    batches = scenario("gap_never_arrives")
+    df = _spark_df(spark, batches)
+    row = ordered_status_batch(df).collect()[0].asDict()
+    assert row == {
+        "conv_id": "conv-000001",
+        "last_emitted": 2,
+        "buffered_count": 2,
+        "earliest_buffered": 4,
+        "latest_buffered": 5,
+        "received_count": 4,
+        "result_count": 2,
+        "duplicate_count": 0,
+        "last_event_received": True,
+    }
+
+
+def test_status_batch_duplicates(spark):
+    df = _spark_df(spark, scenario("duplicates"))
+    row = ordered_status_batch(df).collect()[0].asDict()
+    assert row["duplicate_count"] == 2
+    assert row["result_count"] == 3
+    assert row["received_count"] == 5
+    assert row["buffered_count"] == 0
+
+
+def test_transcripts_derivation_matches_duckdb(spark, sf_dir):
+    got = (
+        derive_transcripts(spark, sf_dir)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = (
+        con.execute(TRANSCRIPTS_SQL).df().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    got["ts"] = pd.to_datetime(got["ts"]).dt.tz_localize(None)
+    want["ts"] = pd.to_datetime(want["ts"]).dt.tz_localize(None)
+    want["turn_idx"] = want["turn_idx"].astype(got["turn_idx"].dtype)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every conversation is gap-free 1..n and ends with the sentinel
+    sent = got.groupby("conv_id").tail(1)
+    assert (sent["role"] == "system").all() and (sent["text"] == "__end__").all()
+    sizes = got.groupby("conv_id")["turn_idx"].agg(["min", "max", "count"])
+    assert (sizes["min"] == 1).all() and (sizes["max"] == sizes["count"]).all()
+
+
+def test_shuffled_arrival_is_permutation(spark, sf_dir):
+    t = derive_transcripts(spark, sf_dir)
+    shuffled = shuffled_arrival(t)
+    assert shuffled.count() == t.count()
+    assert ordered_emit_batch(shuffled, impl="sql").count() == t.count()
