@@ -1,38 +1,557 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries exercise the engine's operator inventory (SURVEY.md §2 + §2.9 and the
+training-data ops) over tables derived 100% deterministically from the
+driver's parquet, so each has an exact DuckDB oracle:
+
+  - transcripts(conv_id, turn_idx, role, text, tool, ts) is DERIVED from
+    `events` with dialect-portable SQL (md5/row_number/CASE — identical
+    results in Spark and DuckDB; see sources/transcripts.py).
+  - a deterministic "damage" predicate drops ~25% of turns (creates gaps)
+    and re-delivers turns ≤ 2 (creates duplicates) so the ordering operator
+    has real work; the oracle reproduces the same damage in SQL.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_ordered_processing_spark.functions import dedup, similarity, text
+from dataflow_ordered_processing_spark.operators.ordered_batch import (
+    ordered_emit_batch,
+    ordered_status_batch,
+)
+from dataflow_ordered_processing_spark.operators.skew import salted_ordered_emit_batch
+from dataflow_ordered_processing_spark.plans import analytics as A
+from dataflow_ordered_processing_spark.sources.transcripts import (
+    TRANSCRIPTS_SQL,
+    derive_transcripts,
+)
+
+# ----------------------------------------------------------- shared fragments
+# ~25% of turns dropped (gaps), deterministic in both engines
+_DAMAGE = (
+    "substr(md5(concat(conv_id, ':', CAST(turn_idx AS STRING), ':dmg')), 1, 1) >= '4'"
+)
+# arrival stream = damaged turns + re-delivery of turns <= 2 (duplicates)
+_ARRIVAL_CTE = f"""
+damaged AS (SELECT * FROM transcripts WHERE {_DAMAGE}),
+arrival AS (SELECT * FROM damaged
+            UNION ALL
+            SELECT * FROM damaged WHERE turn_idx <= 2)
+"""
+# contiguous-prefix classification of the deduped arrival (the ordering
+# oracle): rn == turn_idx ⟺ row is in the maximal contiguous prefix from 1
+_CLASSIFIED_CTE = """
+deduped AS (SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts FROM arrival),
+classified AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM deduped
+)
+"""
+
+
+def _with_transcripts(body: str) -> str:
+    return f"WITH transcripts AS ({TRANSCRIPTS_SQL}), {_ARRIVAL_CTE.strip().rstrip()}, {_CLASSIFIED_CTE.strip()} {body}"
+
+
+def _arrival_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = derive_transcripts(spark, sf_dir)
+    damaged = t.filter(F.expr(_DAMAGE))
+    return damaged.unionAll(damaged.filter(F.col("turn_idx") <= 2))
+
+
+_ORDERED_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "emit_seq"]
+
+_ORDERED_ORACLE = _with_transcripts(
+    """
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST(rn AS BIGINT) AS emit_seq
+FROM classified WHERE turn_idx = rn
+"""
+)
+
+_STATUS_ORACLE = _with_transcripts(
+    """
+, recv AS (SELECT conv_id, count(*) AS received_count FROM arrival GROUP BY conv_id)
+, agg AS (
+  SELECT conv_id,
+         max(CASE WHEN turn_idx = rn THEN CAST(turn_idx AS BIGINT) END) AS last_emitted,
+         CAST(sum(CASE WHEN turn_idx <> rn THEN 1 ELSE 0 END) AS BIGINT) AS buffered_count,
+         min(CASE WHEN turn_idx <> rn THEN CAST(turn_idx AS BIGINT) END) AS earliest_buffered,
+         max(CASE WHEN turn_idx <> rn THEN CAST(turn_idx AS BIGINT) END) AS latest_buffered,
+         CAST(sum(CASE WHEN turn_idx = rn THEN 1 ELSE 0 END) AS BIGINT) AS result_count,
+         CAST(max(CASE WHEN role = 'system' AND text = '__end__' THEN 1 ELSE 0 END) AS BOOLEAN)
+             AS last_event_received
+  FROM classified GROUP BY conv_id
+)
+SELECT agg.conv_id, last_emitted, buffered_count, earliest_buffered, latest_buffered,
+       CAST(received_count AS BIGINT) AS received_count, result_count,
+       CAST(received_count - result_count - buffered_count AS BIGINT) AS duplicate_count,
+       last_event_received
+FROM agg JOIN recv ON agg.conv_id = recv.conv_id
+"""
+)
+
+
+# ------------------------------------------------------------------- queries
+def _q_ordered_emit(spark, sf_dir):
+    return ordered_emit_batch(_arrival_df(spark, sf_dir), impl="sql").select(*_ORDERED_COLS)
+
+
+def _q_ordered_emit_pandas(spark, sf_dir):
+    return ordered_emit_batch(_arrival_df(spark, sf_dir), impl="pandas").select(*_ORDERED_COLS)
+
+
+def _q_ordered_emit_salted(spark, sf_dir):
+    return salted_ordered_emit_batch(_arrival_df(spark, sf_dir), block=64).select(*_ORDERED_COLS)
+
+
+def _q_ordered_stream(spark, sf_dir):
+    """The ACTUAL streaming operator (applyInPandasWithState) run to
+    completion with an availableNow trigger over the staged arrival,
+    returning the ordered data rows — same oracle as the batch path."""
+    from dataflow_ordered_processing_spark.streaming import ordered_stream
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import split_output
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+
+    stage = tempfile.mkdtemp(prefix="ordered-src-")
+    _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    name = "ordered_stream_out"
+    q = (
+        ordered_stream(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data, _ = split_output(spark.table(name))
+    return data.select(*_ORDERED_COLS)
+
+
+def _q_ordered_status(spark, sf_dir):
+    return ordered_status_batch(_arrival_df(spark, sf_dir)).select(
+        "conv_id",
+        "last_emitted",
+        "buffered_count",
+        "earliest_buffered",
+        "latest_buffered",
+        "received_count",
+        "result_count",
+        "duplicate_count",
+        "last_event_received",
+    )
+
+
+def _q_gap_report(spark, sf_dir):
+    return A.gap_report(ordered_status_batch(_arrival_df(spark, sf_dir))).select(
+        "conv_id",
+        "last_emitted",
+        "earliest_buffered",
+        "latest_buffered",
+        "buffered_count",
+        "gap_size",
+    )
+
+
+def _q_completion_rollup(spark, sf_dir):
+    return A.completion_rollup(ordered_status_batch(_arrival_df(spark, sf_dir)))
+
+
+def _q_latest_turns(spark, sf_dir):
+    ordered = ordered_emit_batch(_arrival_df(spark, sf_dir), impl="sql")
+    return A.last_n_turns_per_key(ordered, 3).select(*_ORDERED_COLS)
+
+
+def _q_tumbling(spark, sf_dir):
+    return A.tumbling_tool_counts(derive_transcripts(spark, sf_dir))
+
+
+def _q_sliding(spark, sf_dir):
+    return A.sliding_turn_rate(derive_transcripts(spark, sf_dir))
+
+
+def _q_session(spark, sf_dir):
+    return A.session_windows(derive_transcripts(spark, sf_dir))
+
+
+def _q_user_assistant(spark, sf_dir):
+    return A.user_assistant_pairs(derive_transcripts(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_exact(docs)
+
+
+def _q_token_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.token_count(docs)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, k=8, bands=4)
+
+
+def _q_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+def _q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lang_id(docs)
+
+
+def _q_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_score(docs)
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprint(docs)
+
+
+def _q_brute_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.brute_force_topk(embs, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+def _q_lsh_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.lsh_topk(embs, queries, k=5, n_planes=4)
+
+
+def _q_events_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), g AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s
+        )
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
+        """
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the ordering operator over damaged out-of-order transcripts
+    at sf0.001."""
+    return _q_ordered_emit(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ordered_emit": _q_ordered_emit,
+        "ordered_emit_pandas": _q_ordered_emit_pandas,
+        "ordered_emit_salted": _q_ordered_emit_salted,
+        "ordered_stream": _q_ordered_stream,
+        "ordered_status": _q_ordered_status,
+        "gap_report": _q_gap_report,
+        "completion_rollup": _q_completion_rollup,
+        "latest_turns_per_key": _q_latest_turns,
+        "tumbling_tool_counts": _q_tumbling,
+        "sliding_turn_rate": _q_sliding,
+        "session_windows": _q_session,
+        "user_assistant_pairs": _q_user_assistant,
+        "events_sessionize": _q_events_sessionize,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "brute_force_topk": _q_brute_topk,
+        "lsh_topk": _q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ordered = _ORDERED_ORACLE
+    return {
+        "ordered_emit": ordered,
+        "ordered_emit_pandas": ordered,
+        "ordered_emit_salted": ordered,
+        "ordered_stream": ordered,
+        "ordered_status": _STATUS_ORACLE,
+        "gap_report": _with_transcripts(
+            """
+            , recv AS (SELECT conv_id, count(*) AS received_count FROM arrival GROUP BY conv_id)
+            , agg AS (
+              SELECT conv_id,
+                     max(CASE WHEN turn_idx = rn THEN CAST(turn_idx AS BIGINT) END) AS last_emitted,
+                     CAST(sum(CASE WHEN turn_idx <> rn THEN 1 ELSE 0 END) AS BIGINT) AS buffered_count,
+                     min(CASE WHEN turn_idx <> rn THEN CAST(turn_idx AS BIGINT) END) AS earliest_buffered,
+                     max(CASE WHEN turn_idx <> rn THEN CAST(turn_idx AS BIGINT) END) AS latest_buffered
+              FROM classified GROUP BY conv_id
+            )
+            SELECT conv_id, last_emitted, earliest_buffered, latest_buffered, buffered_count,
+                   earliest_buffered - coalesce(last_emitted, 0) - 1 AS gap_size
+            FROM agg WHERE buffered_count > 0
+            """
+        ),
+        "completion_rollup": _with_transcripts(
+            """
+            , recv AS (SELECT conv_id, count(*) AS received_count FROM arrival GROUP BY conv_id)
+            , agg AS (
+              SELECT c.conv_id,
+                     CAST(sum(CASE WHEN turn_idx <> rn THEN 1 ELSE 0 END) AS BIGINT) AS buffered_count,
+                     CAST(sum(CASE WHEN turn_idx = rn THEN 1 ELSE 0 END) AS BIGINT) AS result_count,
+                     max(CASE WHEN role = 'system' AND text = '__end__' THEN 1 ELSE 0 END) AS lastev,
+                     max(received_count) AS received_count
+              FROM classified c JOIN recv ON c.conv_id = recv.conv_id GROUP BY c.conv_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_conversations,
+                   CAST(sum(CASE WHEN lastev = 1 AND buffered_count = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
+                   CAST(sum(received_count) AS BIGINT) AS total_received,
+                   CAST(sum(result_count) AS BIGINT) AS total_results,
+                   CAST(sum(received_count - result_count - buffered_count) AS BIGINT) AS total_duplicates,
+                   CAST(sum(buffered_count) AS BIGINT) AS total_buffered
+            FROM agg
+            """
+        ),
+        "latest_turns_per_key": _with_transcripts(
+            """
+            , emitted AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts, CAST(rn AS BIGINT) AS emit_seq
+              FROM classified WHERE turn_idx = rn
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts, emit_seq
+            FROM (SELECT *, rank() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rnk
+                  FROM emitted)
+            WHERE rnk <= 3
+            """
+        ),
+        "tumbling_tool_counts": _with_transcripts(
+            """
+            SELECT conv_id,
+                   to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls
+            FROM transcripts GROUP BY 1, 2
+            """
+        ),
+        "sliding_turn_rate": _with_transcripts(
+            """
+            , slid AS (
+              SELECT to_timestamp(CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT))
+                         AS window_start
+              FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
+            )
+            SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM slid GROUP BY 1
+            """
+        ),
+        "session_windows": _with_transcripts(
+            """
+            , s AS (
+              SELECT conv_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ), g AS (
+              SELECT conv_id, ts,
+                     sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT conv_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM g GROUP BY conv_id, sid
+            """
+        ),
+        "user_assistant_pairs": _with_transcripts(
+            """
+            , u AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'user')
+            , a AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'assistant')
+            , j AS (
+              SELECT u.conv_id,
+                     u.turn_idx AS user_turn_idx, a.turn_idx AS assistant_turn_idx,
+                     u.ts AS user_ts, a.ts AS assistant_ts,
+                     row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                        ORDER BY a.ts, a.turn_idx) AS rn
+              FROM u JOIN a ON u.conv_id = a.conv_id
+                           AND a.ts >= u.ts
+                           AND a.ts < u.ts + INTERVAL '10 minutes'
+                           AND a.turn_idx > u.turn_idx
+            )
+            SELECT conv_id, user_turn_idx, assistant_turn_idx, user_ts, assistant_ts
+            FROM j WHERE rn = 1
+            """
+        ),
+        "events_sessionize": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sid
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS exact_fp,
+                   min(doc_id) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+                   CAST(length(text) AS INT) AS n_chars_measured
+            FROM documents
+        """,
+        "minhash_lsh_pairs": _MINHASH_ORACLE,
+        "simhash": _SIMHASH_ORACLE,
+        "fingerprint": _FINGERPRINT_ORACLE,
+        "lang_id": _LANG_ID_ORACLE,
+        "quality_score": _QUALITY_ORACLE,
+        "brute_force_topk": _TOPK_ORACLE,
+        # lsh_topk: driver rows-only check (hyperplane literals are not
+        # reproducible in pure SQL).
+    }
+
+
+# ------------------------------------------------- document-domain oracles
+_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_SHINGLES5 = (
+    "list_transform(range(1, greatest(len(w) - 4, 1) + 1), "
+    "i -> array_to_string(w[i:i+4], ' '))"
+)
+
+_MINHASH_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES5}) AS sh FROM w),
+sig AS (SELECT doc_id,
+  {', '.join(f"list_min(list_transform(sh, s -> md5('seed{i}:' || s))) AS mh_{i}" for i in range(8))}
+FROM sh),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+      for b in range(4))}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(trim({_NORM}), ' '), x -> len(x) > 0)) AS ws
+  FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hv FROM t),
+v AS (SELECT doc_id,
+  {', '.join(f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
+FROM h GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce({' + '.join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}, 0)
+           AS simhash
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+"""
+
+_FINGERPRINT_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_NORM} AS norm, string_split(trim({_NORM}), ' ') AS w FROM documents)
+SELECT doc_id,
+       md5(norm) AS exact_fp,
+       list_min(list_transform({_SHINGLES5}, s -> md5(s))) AS shingle_fp
+FROM w
+"""
+
+_LANG_MARKER_SQL = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+
+def _hits_sql(words):
+    lowered = "concat(' ', lower(text), ' ')"
+    terms = " + ".join(
+        f"(length({lowered}) - length(regexp_replace({lowered}, ' {w} ', '|', 'g'))) / {len(w) + 1}.0"
+        for w in words
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_LANG_ID_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang AS lang_declared,
+         {', '.join(f"{_hits_sql(ws)} AS h_{c}" for c, ws in _LANG_MARKER_SQL.items())}
+  FROM documents)
+SELECT doc_id, lang_declared,
+       CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       greatest(h_de, h_en, h_es, h_fr) AS marker_hits
+FROM h
+"""
+
+_QUALITY_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars_q,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+         {_hits_sql(_LANG_MARKER_SQL['en'])} AS n_stopword_hits
+  FROM documents)
+SELECT doc_id, n_chars_q, n_tokens, n_punct, n_stopword_hits,
+       round((n_chars_q - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+       round(least(1.0, n_tokens / 64.0) * 0.5
+             + (CASE WHEN n_punct > 0 THEN 0.25 ELSE 0.0 END)
+             + least(0.25, n_stopword_hits / 20.0), 4) AS quality
+FROM b
+"""
+
+_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding, q.qv), 6) AS cs
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""

@@ -1,0 +1,151 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  ordered_emit        batch ordering, pure-Catalyst plan (the scale path)
+  ordered_stream      the REAL applyInPandasWithState streaming operator run
+                      to completion (availableNow) over the damaged arrival
+                      stream — reports ordered turns/sec
+  ordered_salted      two-phase skew plan
+  windows/join/sessionize/dedup/minhash/topk — the analytics + data-pipeline
+                      headliners
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "ordered_turns_per_sec": ...,
+         "p99_emission_latency_s": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from dataflow_ordered_processing_spark.session import get_spark
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming import ordered_stream
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import split_output
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        return out
+
+    # --- batch ordering (count() forces the full plan)
+    n_turns = run("ordered_emit", lambda: E._q_ordered_emit(spark, sf_dir).count())
+    run("ordered_salted", lambda: E._q_ordered_emit_salted(spark, sf_dir).count())
+    run("ordered_status", lambda: E._q_ordered_status(spark, sf_dir).count())
+
+    # --- the streaming operator end-to-end: stage arrival files, stream with
+    # availableNow, measure ordered rows / wall-clock
+    stage = tempfile.mkdtemp(prefix="bench-src-")
+    arrival = E._arrival_df(spark, sf_dir)
+    arrival.repartition(cpus).write.mode("overwrite").parquet(stage)
+
+    def stream_run():
+        src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+        out_name = "bench_stream_out"
+        q = (
+            ordered_stream(src)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        data, _ = split_output(spark.table(out_name))
+        return data.count()
+
+    emitted = run("ordered_stream", stream_run)
+    extras["ordered_turns_per_sec"] = round(emitted / timings["ordered_stream"], 1)
+    extras["ordered_rows_emitted"] = emitted
+    extras["batch_ordered_turns_per_sec"] = round(n_turns / timings["ordered_emit"], 1)
+
+    # p99 emission latency: micro-batch latency proxy on the batch path is 0;
+    # measure on a short real pipeline with parquet sink + ingest_ts
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        SinkConfig,
+        read_sink,
+        start_ordered_pipeline,
+    )
+
+    sink_dir = tempfile.mkdtemp(prefix="bench-sink-")
+
+    def latency_run():
+        src = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+            "maxFilesPerTrigger", max(1, cpus // 4)
+        ).parquet(stage)
+        cfgS = SinkConfig(
+            data_path=os.path.join(sink_dir, "data"),
+            checkpoint=os.path.join(sink_dir, "ckpt"),
+        )
+        q = start_ordered_pipeline(src, cfgS)
+        q.processAllAvailable()
+        q.stop()
+        sunk = read_sink(spark, cfgS.data_path)
+        # emission latency relative to the run start (event ts is synthetic
+        # history): p99 of ingest_ts spread = how long rows waited to land
+        row = sunk.agg(
+            F.expr(
+                "percentile_approx(unix_timestamp(ingest_ts), array(0.99D), 10000)"
+            )[0].alias("p99"),
+            F.min(F.unix_timestamp("ingest_ts")).alias("t0"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        extras["p99_emission_latency_s"] = float(row["p99"] - row["t0"])
+        return row["n"]
+
+    run("ordered_pipeline_sink", latency_run)
+
+    # --- analytics + data-pipeline headliners
+    run("tumbling_tool_counts", lambda: E._q_tumbling(spark, sf_dir).count())
+    run("sliding_turn_rate", lambda: E._q_sliding(spark, sf_dir).count())
+    run("session_windows", lambda: E._q_session(spark, sf_dir).count())
+    run("user_assistant_pairs", lambda: E._q_user_assistant(spark, sf_dir).count())
+    run("events_sessionize", lambda: E._q_events_sessionize(spark, sf_dir).count())
+    run("dedup_exact", lambda: E._q_dedup_exact(spark, sf_dir).count())
+    run("minhash_lsh_pairs", lambda: E._q_minhash_pairs(spark, sf_dir).count())
+    run("simhash", lambda: E._q_simhash(spark, sf_dir).count())
+    run("brute_force_topk", lambda: E._q_brute_topk(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

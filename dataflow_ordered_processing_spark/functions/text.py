@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines over `documents`
+(doc_id, text, lang, source, n_chars): language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure built-in Spark SQL expressions (JVM, codegen) — no Python UDFs.
+Each has an exact DuckDB oracle (dialect-portable expressions only), wired in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+
+def token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic —
+    the common 'about 4 chars per token' rule)."""
+    toks = F.size(F.split(F.trim(F.col(col)), r"\s+"))
+    return df.select(
+        "doc_id",
+        toks.alias("n_ws_tokens"),
+        F.ceil(F.length(col) / 4).cast("long").alias("n_bpe_est"),
+        F.length(col).alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score — the standard cheap quality gates of LLM data pipelines."""
+    length = F.length(col)
+    n_tokens = F.size(F.split(F.trim(F.col(col)), r"\s+"))
+    n_punct = length - F.length(F.regexp_replace(F.col(col), r"[.,;:!?]", ""))
+    # stopword hits: count of ' the ', ' and ', ' of ' style matches
+    lowered = F.concat(F.lit(" "), F.lower(F.col(col)), F.lit(" "))
+    n_stop = sum(
+        (F.length(lowered) - F.length(F.regexp_replace(lowered, rf" {w} ", "|")))
+        / (len(w) + 1)
+        for w in LANG_MARKERS["en"]
+    ).cast("long")
+    mean_tok_len = (length - n_tokens + 1) / n_tokens
+    return df.select(
+        "doc_id",
+        length.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopword_hits"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens / 64.0) * 0.5
+            + F.when(n_punct > 0, 0.25).otherwise(0.0)
+            + F.least(F.lit(0.25), n_stop / 20.0),
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax over per-language stopword hit counts
+    (deterministic tie-break by language code)."""
+    lowered = F.concat(F.lit(" "), F.lower(F.col(col)), F.lit(" "))
+
+    def hits(words: list[str]):
+        return sum(
+            (F.length(lowered) - F.length(F.regexp_replace(lowered, rf" {w} ", "|")))
+            / (len(w) + 1)
+            for w in words
+        ).cast("long")
+
+    scored = df.select(
+        "doc_id",
+        "lang",
+        *[hits(ws).alias(f"h_{code}") for code, ws in LANG_MARKERS.items()],
+    )
+    # argmax with deterministic tie-break: greatest over (count, -code-rank)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"h_{c}").alias("n"),
+                F.lit(-i).alias("ord"),
+                F.lit(c).alias("code"),
+            )
+            for i, c in enumerate(sorted(LANG_MARKERS))
+        ]
+    )
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        best["code"].alias("lang_pred"),
+        best["n"].alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of normalized text (exact-dup key) + a
+    shingle sketch fingerprint (min of word-5-gram md5s — a 1-perm MinHash,
+    rolling-hash analog) for near-dup blocking."""
+    norm = F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
+    words = F.split(F.trim(norm), " ")
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 5, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
+    )
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(F.transform(shingles, F.md5)).alias("shingle_fp"),
+    )

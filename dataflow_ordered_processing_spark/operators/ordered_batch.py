@@ -60,7 +60,7 @@ def ordered_emit_batch(
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             st = core.OrderedState(last_emitted=initial_idx - 1)
-            batch = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
+            batch = pdf.assign(ts_us=core.ts_to_us(pdf["ts"]))
             out = core.apply_batch(st, batch)
             return pd.DataFrame(
                 {

@@ -43,6 +43,14 @@ BUF_COLS = ["turn_idx", "role", "text", "tool", "ts_us"]
 IsLastFn = Callable[[pd.DataFrame], np.ndarray]
 
 
+def ts_to_us(s: pd.Series) -> pd.Series:
+    """Timestamp series → int64 epoch-micros, robust to ns/us units and tz."""
+    s = pd.to_datetime(s)
+    if getattr(s.dt, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return s.astype("datetime64[us]").astype("int64")
+
+
 def default_is_last(pdf: pd.DataFrame) -> np.ndarray:
     """lastContractMessage analog: sentinel final turn (FIXTURES.md §1)."""
     return ((pdf["role"] == END_ROLE) & (pdf["text"] == END_TEXT)).to_numpy()

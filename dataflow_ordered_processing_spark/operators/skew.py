@@ -1,0 +1,134 @@
+"""Skew handling for mega-conversations: salted repartition + two-phase
+local/global merge of ordering state (north_rule requirement).
+
+The reference deliberately GENERATES skew (per-contract rate ∝ 1-(i/n)^degree,
+Simulator.java:61-69) and relies on many-keys parallelism; a single mega-key
+still serializes onto one worker there. Our two-phase plan spreads even one
+hot key across the cluster:
+
+  Phase 1 (local, salted): salt = floor((turn_idx - initial) / block).
+      Work is hash-exchanged on (conv_id, block) — n_blocks-way parallelism
+      INSIDE one conversation. Each block independently computes three
+      aggregates: row count, dedup count, and its within-block contiguous
+      prefix length from the block's expected start.
+  Phase 2 (global merge, tiny): per conv_id, merge ONLY the per-block
+      aggregates (state O(#blocks), not O(#rows)): the emitted prefix length
+      is  r·B + p  where r = leading run of complete dense blocks and p =
+      the within-block prefix of block r. The row payload never passes
+      through phase 2.
+  Release: broadcast-join the per-key prefix length back; a row is emitted
+      iff turn_idx < initial + prefix_len, and its emit_seq is just
+      turn_idx - initial + 1 — NO per-key global sort or window anywhere.
+
+Key observation making phase 1 exact: within a block, turn_idx (strictly
+increasing after dedup) vs its expected slot can only fall behind once —
+after the first gap every row stays ahead of its slot — so
+count(turn_idx == expected_slot) IS the prefix length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _per_key_prefix_len(df: DataFrame, block: int, initial_idx: int) -> DataFrame:
+    """(conv_id, prefix_len): length of the maximal contiguous run starting
+    at initial_idx, computed with only salted shuffles + tiny merges."""
+    t = F.col("turn_idx").cast("long")
+    blk = ((t - initial_idx) / block).cast("long")
+
+    # Dedup + within-block slot rank in one exchange on (conv_id, _block):
+    # rank rows by turn_idx inside the block counting each turn once.
+    w_blk = Window.partitionBy("conv_id", "_block").orderBy("turn_idx")
+    w_dup = Window.partitionBy("conv_id", "_block", "turn_idx").orderBy("ts")
+    ranked = (
+        df.select("conv_id", "turn_idx", "ts")
+        .withColumn("_block", blk)
+        .withColumn("_dup", F.row_number().over(w_dup))
+        .filter(F.col("_dup") == 1)
+        .withColumn("_brn", F.row_number().over(w_blk))
+    )
+    block_start = F.col("_block") * block + initial_idx
+    in_slot = t == block_start + F.col("_brn") - 1
+
+    stats = ranked.groupBy("conv_id", "_block").agg(
+        F.count("*").alias("_bcnt"),
+        F.sum(F.when(in_slot, 1).otherwise(0)).alias("_bprefix"),
+    )
+
+    # Phase-2 merge over #blocks rows per key (small): leading run of
+    # complete, densely-numbered blocks, plus the next block's own prefix.
+    w_key = Window.partitionBy("conv_id").orderBy("_block")
+    merged = stats.withColumn("_brnk", F.row_number().over(w_key)).withColumn(
+        "_complete",
+        (F.col("_bcnt") == block)
+        & (F.col("_bprefix") == block)
+        & (F.col("_block") == F.col("_brnk") - 1),
+    )
+    # leading-run length r = count of rows before the first incomplete one
+    incomplete_pos = merged.filter(~F.col("_complete")).groupBy("conv_id").agg(
+        F.min("_brnk").alias("_first_bad")
+    )
+    per_key = (
+        merged.groupBy("conv_id")
+        .agg(F.count("*").alias("_nblocks"))
+        .join(incomplete_pos, "conv_id", "left")
+        .withColumn("_r", F.coalesce(F.col("_first_bad") - 1, F.col("_nblocks")))
+    )
+    # partial prefix of the first incomplete block — only if it is dense
+    # (its block id == r, i.e. it starts exactly at the cursor)
+    partial = (
+        merged.join(per_key.select("conv_id", "_r"), "conv_id")
+        .filter((F.col("_brnk") == F.col("_r") + 1) & (F.col("_block") == F.col("_r")))
+        .select("conv_id", F.col("_bprefix").alias("_partial"))
+    )
+    return (
+        per_key.join(partial, "conv_id", "left")
+        .withColumn(
+            "prefix_len", F.col("_r") * block + F.coalesce(F.col("_partial"), F.lit(0))
+        )
+        .select("conv_id", "prefix_len")
+    )
+
+
+def salted_ordered_emit_batch(
+    df: DataFrame, block: int = 1024, initial_idx: int = 1
+) -> DataFrame:
+    """Two-phase batch ordering; output identical to ordered_emit_batch."""
+    prefix = _per_key_prefix_len(df, block, initial_idx)
+    t = F.col("turn_idx").cast("long")
+    released = (
+        df.join(F.broadcast(prefix), "conv_id")
+        .filter(t < F.col("prefix_len") + initial_idx)
+        .withColumn("emit_seq", t - initial_idx + 1)
+    )
+    # drop duplicate deliveries of released turns (first-by-ts, same rule as
+    # ordered_batch._dedupe; exchange is on (conv_id, turn_idx) → no hot key)
+    w_dup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
+    return (
+        released.withColumn("_dup", F.row_number().over(w_dup))
+        .filter(F.col("_dup") == 1)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "emit_seq")
+    )
+
+
+def hot_keys(df: DataFrame, threshold: int) -> DataFrame:
+    """Keys whose row count exceeds the hot threshold (broadcastable)."""
+    return df.groupBy("conv_id").count().filter(F.col("count") > threshold).select("conv_id")
+
+
+def adaptive_ordered_emit_batch(
+    df: DataFrame, hot_threshold: int = 100_000, block: int = 1024
+) -> DataFrame:
+    """Route hot keys through the two-phase plan, cold keys through the
+    single-phase plan; union the results. The hot-key set is broadcast —
+    no extra shuffle of the big side beyond the two plans' own exchanges."""
+    from .ordered_batch import ordered_emit_batch
+
+    hot = F.broadcast(hot_keys(df, hot_threshold))
+    hot_rows = df.join(hot, "conv_id", "left_semi")
+    cold_rows = df.join(hot, "conv_id", "left_anti")
+    return ordered_emit_batch(cold_rows, impl="sql").unionByName(
+        salted_ordered_emit_batch(hot_rows, block=block)
+    )

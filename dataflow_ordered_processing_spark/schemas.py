@@ -50,10 +50,15 @@ STATUS_SCHEMA = T.StructType(
 # status rows (discriminated by row_type) — the dual-output pattern of
 # OrderBookProcessingPipeline.java:107-120 folded into a single schema so a
 # single applyInPandasWithState query can feed both sinks via foreachBatch.
+# All fields nullable: data rows leave status fields NULL and vice versa.
 STREAM_OUTPUT_SCHEMA = T.StructType(
-    [T.StructField("row_type", T.StringType(), False)]  # 'data' | 'status'
-    + list(ORDERED_OUTPUT_SCHEMA.fields)
-    + [f for f in STATUS_SCHEMA.fields if f.name not in ("conv_id",)]
+    [T.StructField("row_type", T.StringType(), True)]  # 'data' | 'status'
+    + [T.StructField(f.name, f.dataType, True) for f in ORDERED_OUTPUT_SCHEMA.fields]
+    + [
+        T.StructField(f.name, f.dataType, True)
+        for f in STATUS_SCHEMA.fields
+        if f.name != "conv_id"
+    ]
 )
 
 # applyInPandasWithState state struct: cursor + counters + columnar buffer of

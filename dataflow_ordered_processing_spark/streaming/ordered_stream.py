@@ -1,0 +1,222 @@
+"""The streaming ordered processor — applyInPandasWithState over conv_id.
+
+This is the Spark-native reimplementation of Beam's OrderedEventProcessor as
+used by the reference pipeline (OrderBookProducer.java:59-76, semantics from
+docs/pipeline-design.md and OrderBookProcessingPipelineTest.java:91-195):
+
+  - groupBy("conv_id") hash-partitions the stream so each conversation's
+    state lives on exactly one partition (the GroupByKey the reference's
+    keyed state implies).
+  - Per key, state holds the last-emitted cursor, counters, and a sorted
+    columnar buffer of pending out-of-sequence turns (STATE_SCHEMA).
+  - Each micro-batch appends its rows to the buffer and drains the maximal
+    contiguous run (ordered_core.apply_batch — all vectorized).
+  - The same operator emits both ordered data rows and
+    OrderedProcessingStatus rows, discriminated by `row_type` — the
+    reference's dual-output (results + statuses,
+    OrderBookProcessingPipeline.java:107-120).
+  - A processing-time timeout emits heartbeat statuses for idle keys with
+    buffered gaps (the reference's timer-driven status,
+    OrderBookProcessingPipelineTest.java:214-215).
+  - When a key's final event was seen and its buffer is empty, state is
+    removed (cleanup on lastContractMessage,
+    OrderBookEventExaminer.java:46-49).
+
+At 100 TB: state is per-key O(pending gap), not O(history); the only shuffle
+is the hash exchange on conv_id; the Python boundary is Arrow-batched and
+every per-row operation is numpy. Mega-key skew is handled by the two-phase
+salted variant in operators/skew.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..operators import ordered_core as core
+from ..schemas import STATE_SCHEMA, STREAM_OUTPUT_SCHEMA
+
+_DATA_COLS = ["turn_idx", "role", "text", "tool", "ts", "emit_seq"]
+_STATUS_COLS = [
+    "last_emitted",
+    "buffered_count",
+    "earliest_buffered",
+    "latest_buffered",
+    "received_count",
+    "result_count",
+    "duplicate_count",
+    "last_event_received",
+]
+
+
+@dataclass(frozen=True)
+class OrderedStreamConfig:
+    """Knobs mirroring the reference's OrderBookProducer options
+    (OrderBookProducer.java:41-57)."""
+
+    emit_status_every_batch: bool = True  # produceStatusUpdatesOnEveryEvent analog
+    status_heartbeat_ms: int | None = None  # timer-driven status frequency (O10)
+    max_emit_per_batch: int | None = None  # maxOutputElementsPerBundle analog (O9)
+    initial_turn_idx: int = core.INITIAL_TURN_IDX
+    # False (default): on completion keep a ~50-byte tombstone (cursor +
+    # counters, empty buffer) so duplicates re-delivered AFTER the final turn
+    # are still discarded+counted (docs/pipeline-design.md:115-122). True:
+    # remove state eagerly like the reference's cleanup-on-last-event
+    # (OrderBookEventExaminer.java:46-49) — then post-completion re-delivery
+    # re-emits, and the sink's (conv_id, turn_idx) idempotent MERGE is what
+    # guarantees exactly-once.
+    cleanup_on_complete: bool = False
+
+
+def _state_to_tuple(st: core.OrderedState) -> tuple:
+    buf = st.buffer
+    return (
+        st.last_emitted,
+        st.received_count,
+        st.result_count,
+        st.duplicate_count,
+        st.last_event_received,
+        buf["turn_idx"].tolist(),
+        buf["role"].tolist(),
+        buf["text"].tolist(),
+        buf["tool"].tolist(),
+        buf["ts_us"].tolist(),
+    )
+
+
+def _state_from_tuple(t: tuple) -> core.OrderedState:
+    buf = pd.DataFrame(
+        {
+            "turn_idx": pd.Series(list(t[5] or []), dtype="int64"),
+            "role": pd.Series(list(t[6] or []), dtype="object"),
+            "text": pd.Series(list(t[7] or []), dtype="object"),
+            "tool": pd.Series(list(t[8] or []), dtype="object"),
+            "ts_us": pd.Series(list(t[9] or []), dtype="int64"),
+        }
+    )
+    return core.OrderedState(
+        last_emitted=int(t[0]),
+        received_count=int(t[1]),
+        result_count=int(t[2]),
+        duplicate_count=int(t[3]),
+        last_event_received=bool(t[4]),
+        buffer=buf,
+    )
+
+
+def _out_frame(conv_id: str, emitted: pd.DataFrame | None, status: dict | None) -> pd.DataFrame:
+    """Assemble one STREAM_OUTPUT_SCHEMA pandas frame (data rows + status row)."""
+    frames = []
+    if emitted is not None and len(emitted):
+        d = pd.DataFrame(
+            {
+                "row_type": "data",
+                "conv_id": conv_id,
+                "turn_idx": emitted["turn_idx"].astype("int32"),
+                "role": emitted["role"],
+                "text": emitted["text"],
+                "tool": emitted["tool"],
+                "ts": pd.to_datetime(emitted["ts_us"], unit="us"),
+                "emit_seq": emitted["emit_seq"].astype("int64"),
+            }
+        )
+        for c in ("status_ts", *_STATUS_COLS):
+            d[c] = None
+        frames.append(d)
+    if status is not None:
+        s = pd.DataFrame(
+            {
+                "row_type": ["status"],
+                "conv_id": [conv_id],
+                "turn_idx": [None],
+                "role": [None],
+                "text": [None],
+                "tool": [None],
+                "ts": [pd.NaT],
+                "emit_seq": [None],
+                "status_ts": [datetime.now(timezone.utc).replace(tzinfo=None)],
+                **{c: [status[c]] for c in _STATUS_COLS},
+            }
+        )
+        frames.append(s)
+    if not frames:
+        return pd.DataFrame()
+    out = pd.concat(frames, ignore_index=True)
+    # pandas upcasts None→NaN; normalize nullable ints to object-free floats is
+    # fine for Arrow (nullable int64 target), but booleans must stay bool/None.
+    return out
+
+
+def make_ordered_func(cfg: OrderedStreamConfig):
+    """Build the (key, pdf_iter, state) function for applyInPandasWithState."""
+
+    def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+
+        if state.hasTimedOut:
+            st = _state_from_tuple(tuple(state.get))
+            status = core.status_dict(conv_id, st)
+            del status["conv_id"]
+            if cfg.status_heartbeat_ms:
+                state.setTimeoutDuration(cfg.status_heartbeat_ms)
+            yield _out_frame(conv_id, None, status)
+            return
+
+        st = _state_from_tuple(tuple(state.get)) if state.exists else core.OrderedState(
+            last_emitted=cfg.initial_turn_idx - 1
+        )
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch["ts_us"] = core.ts_to_us(batch["ts"])
+        emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
+
+        status = None
+        if cfg.emit_status_every_batch:
+            status = core.status_dict(conv_id, st)
+            del status["conv_id"]
+
+        if st.complete and cfg.cleanup_on_complete:
+            state.remove()  # O4: eager cleanup on last event (examiner contract)
+        else:
+            state.update(_state_to_tuple(st))
+            if cfg.status_heartbeat_ms:
+                state.setTimeoutDuration(cfg.status_heartbeat_ms)
+
+        out = _out_frame(conv_id, emitted, status)
+        if len(out):
+            yield out
+
+    return func
+
+
+def ordered_stream(df: DataFrame, cfg: OrderedStreamConfig | None = None) -> DataFrame:
+    """Apply the ordered processor to a (streaming or batch) transcripts
+    DataFrame. Returns the unified data+status stream (STREAM_OUTPUT_SCHEMA).
+    """
+    cfg = cfg or OrderedStreamConfig()
+    timeout = "ProcessingTimeTimeout" if cfg.status_heartbeat_ms else "NoTimeout"
+    return df.groupBy("conv_id").applyInPandasWithState(
+        make_ordered_func(cfg),
+        outputStructType=STREAM_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def split_output(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the unified stream into (ordered data rows, status rows) with
+    their natural schemas — used inside foreachBatch so ONE stateful query
+    feeds both sinks (SURVEY.md §7 'dual-output' resolution)."""
+    data = unified.filter(unified.row_type == "data").select(
+        "conv_id", *_DATA_COLS
+    )
+    status = unified.filter(unified.row_type == "status").select(
+        "conv_id", "status_ts", *_STATUS_COLS
+    )
+    return data, status

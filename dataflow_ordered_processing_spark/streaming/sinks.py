@@ -1,0 +1,113 @@
+"""Exactly-once sinks for the ordered pipeline.
+
+The reference writes three BigQuery tables via the Storage Write API with 2 s
+triggering + auto-sharding (OrderBookProcessingPipeline.java:131-147) and a
+dead-letter branch (FailedBigQueryInsertProcessor.java:38-49). Here:
+
+  - One streaming query (the stateful operator must not be duplicated across
+    sinks) fans out inside foreachBatch to the data table, the status table,
+    and a DLQ.
+  - Exactly-once:
+      * Iceberg (when a catalog is configured): the streaming sink commits
+        one snapshot per (queryId, epochId) — idempotent on replay.
+      * Parquet fallback (this sandbox has no Iceberg jars): idempotent
+        MERGE emulation — epoch-named output directories; an epoch that
+        already exists is skipped on replay, so checkpoint recovery cannot
+        double-write. The idempotency key of the data table is
+        (conv_id, turn_idx) by construction (each turn emits exactly once).
+  - `ingest_ts` is stamped at sink time — the latency-metric input
+    (reference README.md:145-184: TIMESTAMP_DIFF(ingest_ts, event_ts)).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .ordered_stream import OrderedStreamConfig, ordered_stream, split_output
+
+
+@dataclass(frozen=True)
+class SinkConfig:
+    data_path: str
+    status_path: str | None = None
+    dlq_path: str | None = None
+    checkpoint: str | None = None
+    iceberg_table: str | None = None  # e.g. "cat.db.ordered_turns" when jars present
+    trigger_seconds: float | None = None  # None → availableNow semantics via caller
+
+
+def _epoch_dir(base: str, epoch_id: int) -> str:
+    return os.path.join(base, f"epoch={epoch_id}")
+
+
+def _write_idempotent(df: DataFrame, base: str, epoch_id: int) -> None:
+    """Skip-if-exists epoch write: replay of a committed epoch is a no-op.
+    (Parquet stand-in for Iceberg's (queryId, epochId) snapshot dedupe.)"""
+    target = _epoch_dir(base, epoch_id)
+    marker = os.path.join(target, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    df.write.mode("overwrite").parquet(target)
+
+
+def split_sink(cfg: SinkConfig):
+    """foreachBatch function writing data/status/DLQ from one micro-batch."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            data, status = split_output(batch_df)
+            data = data.withColumn("ingest_ts", F.current_timestamp())
+            if cfg.iceberg_table:
+                data.writeTo(cfg.iceberg_table).append()
+            else:
+                _write_idempotent(data, cfg.data_path, epoch_id)
+            if cfg.status_path:
+                _write_idempotent(status, cfg.status_path, epoch_id)
+        except Exception:
+            if cfg.dlq_path:
+                _write_idempotent(
+                    batch_df.withColumn("ingest_ts", F.current_timestamp()),
+                    cfg.dlq_path,
+                    epoch_id,
+                )
+            raise
+        finally:
+            batch_df.unpersist()
+
+    return write_batch
+
+
+def read_sink(spark: SparkSession, base: str) -> DataFrame:
+    """Read an epoch-partitioned sink back as one table."""
+    return spark.read.option("basePath", base).parquet(os.path.join(base, "epoch=*")).drop(
+        "epoch"
+    )
+
+
+def start_ordered_pipeline(
+    source: DataFrame,
+    sink: SinkConfig,
+    stream_cfg: OrderedStreamConfig | None = None,
+) -> StreamingQuery:
+    """Wire source → ordered processor → dual sink; return the running query.
+
+    ``source`` is a streaming DataFrame with TRANSCRIPT_SCHEMA (e.g.
+    readStream over an Iceberg/parquet directory of arrival batches).
+    """
+    unified = ordered_stream(source, stream_cfg)
+    writer = (
+        unified.writeStream.outputMode("append")
+        .foreachBatch(split_sink(sink))
+        .queryName("ordered-transcripts")
+    )
+    if sink.checkpoint:
+        writer = writer.option("checkpointLocation", sink.checkpoint)
+    if sink.trigger_seconds:
+        writer = writer.trigger(processingTime=f"{sink.trigger_seconds} seconds")
+    return writer.start()

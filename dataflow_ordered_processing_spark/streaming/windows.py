@@ -1,0 +1,98 @@
+"""Streaming window aggregates and the stream-stream join (north_rule
+N1–N5) with event-time watermarks.
+
+The reference relies on sequence numbers, not watermarks (SURVEY.md §2.8);
+these operators ADD event-time semantics over `ts`:
+
+  - tumbling / sliding / session windows per conv_id with a watermark that
+    bounds state and drops late rows (N4 policy: late rows are dropped by
+    WINDOWS but not by the ordering operator — it orders by turn_idx, not
+    time; divergence documented in SURVEY.md §2.9).
+  - stream-stream interval join: user turns ↔ first assistant response
+    within a horizon, both sides watermarked so join state is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_tool_counts(
+    transcripts: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", width).alias("w"))
+        .agg(F.count("*").alias("n_turns"), F.count("tool").alias("n_tool_calls"))
+        .select("conv_id", F.col("w.start").alias("window_start"), "n_turns", "n_tool_calls")
+    )
+
+
+def stream_sliding_turn_rate(
+    transcripts: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "2 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("w.start").alias("window_start"), "n_turns")
+    )
+
+
+def stream_session_windows(
+    transcripts: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_turns"), F.min("ts").alias("session_start"))
+        .select("conv_id", "session_start", "n_turns")
+    )
+
+
+def stream_user_assistant_join(
+    transcripts: DataFrame, horizon_minutes: int = 10, watermark: str = "10 minutes"
+) -> DataFrame:
+    """N5: watermarked stream-stream interval join (SURVEY.md §2.8's added
+    operator). Both sides carry watermarks; the time-range predicate bounds
+    how long user turns wait in join state."""
+    users = (
+        transcripts.filter(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("u_conv_id"),
+            F.col("turn_idx").alias("user_turn_idx"),
+            F.col("ts").alias("user_ts"),
+        )
+        .withWatermark("user_ts", watermark)
+    )
+    assistants = (
+        transcripts.filter(F.col("role") == "assistant")
+        .select(
+            F.col("conv_id").alias("a_conv_id"),
+            F.col("turn_idx").alias("assistant_turn_idx"),
+            F.col("ts").alias("assistant_ts"),
+        )
+        .withWatermark("assistant_ts", watermark)
+    )
+    return users.join(
+        assistants,
+        F.expr(
+            f"""
+            u_conv_id = a_conv_id AND
+            assistant_turn_idx > user_turn_idx AND
+            assistant_ts >= user_ts AND
+            assistant_ts < user_ts + INTERVAL {horizon_minutes} MINUTES
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("u_conv_id").alias("conv_id"),
+        "user_turn_idx",
+        "assistant_turn_idx",
+        "user_ts",
+        "assistant_ts",
+    )
