@@ -152,6 +152,23 @@ def _q_ordered_status(spark, sf_dir):
     )
 
 
+_DEPTH_COLS = ["n_user_cum", "n_assistant_cum", "n_tool_cum", "chars_cum"]
+
+
+def _q_conversation_depth(spark, sf_dir):
+    """Per-emitted-turn running conversation snapshot (the reference's
+    MarketDepth-per-event analog, OrderBookBuilder.java:92-141)."""
+    return ordered_emit_batch(_arrival_df(spark, sf_dir), impl="sql").select(
+        "conv_id", "turn_idx", "emit_seq", *_DEPTH_COLS
+    )
+
+
+def _q_conversation_depth_salted(spark, sf_dir):
+    return salted_ordered_emit_batch(_arrival_df(spark, sf_dir), block=64).select(
+        "conv_id", "turn_idx", "emit_seq", *_DEPTH_COLS
+    )
+
+
 def _q_gap_report(spark, sf_dir):
     return A.gap_report(ordered_status_batch(_arrival_df(spark, sf_dir))).select(
         "conv_id",
@@ -239,6 +256,21 @@ def _q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(embs, queries, k=5, n_planes=4)
 
 
+def _q_role_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP over the transcript dimensions (SURVEY §2.8: the
+    set-op/grouping family comes free with Spark SQL)."""
+    t = derive_transcripts(spark, sf_dir)
+    return (
+        t.rollup("role", "tool")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("long")).alias("n_chars"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .select("role", "tool", "n_turns", "n_chars", "n_convs")
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.createOrReplaceTempView("events")
@@ -277,6 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_emit_salted": _q_ordered_emit_salted,
         "ordered_stream": _q_ordered_stream,
         "ordered_status": _q_ordered_status,
+        "conversation_depth": _q_conversation_depth,
+        "conversation_depth_salted": _q_conversation_depth_salted,
         "gap_report": _q_gap_report,
         "completion_rollup": _q_completion_rollup,
         "latest_turns_per_key": _q_latest_turns,
@@ -284,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_turn_rate": _q_sliding,
         "session_windows": _q_session,
         "user_assistant_pairs": _q_user_assistant,
+        "role_rollup": _q_role_rollup,
         "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -305,6 +340,8 @@ def oracle_sql() -> dict[str, str]:
         "ordered_emit_salted": ordered,
         "ordered_stream": ordered,
         "ordered_status": _STATUS_ORACLE,
+        "conversation_depth": _DEPTH_ORACLE,
+        "conversation_depth_salted": _DEPTH_ORACLE,
         "gap_report": _with_transcripts(
             """
             , recv AS (SELECT conv_id, count(*) AS received_count FROM arrival GROUP BY conv_id)
@@ -410,6 +447,14 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE rn = 1
             """
         ),
+        "role_rollup": _with_transcripts(
+            """
+            SELECT role, tool, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM transcripts GROUP BY ROLLUP(role, tool)
+            """
+        ),
         "events_sessionize": """
             WITH s AS (
               SELECT user_id, ts,
@@ -449,6 +494,19 @@ def oracle_sql() -> dict[str, str]:
         # lsh_topk: driver rows-only check (hyperplane literals are not
         # reproducible in pure SQL).
     }
+
+
+_DEPTH_ORACLE = _with_transcripts(
+    """
+SELECT conv_id, turn_idx, CAST(rn AS BIGINT) AS emit_seq,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS n_user_cum,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS n_assistant_cum,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS n_tool_cum,
+       CAST(sum(coalesce(length(text), 0)) OVER wc AS BIGINT) AS chars_cum
+FROM classified WHERE turn_idx = rn
+WINDOW wc AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+"""
+)
 
 
 # ------------------------------------------------- document-domain oracles

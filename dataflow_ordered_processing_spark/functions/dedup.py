@@ -90,6 +90,10 @@ def minhash_lsh_pairs(
     exploded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", "band.band_id", "band.band_key"
     )
+    # self-join: without persist, BOTH sides recompute the whole
+    # shingle→minhash pipeline; the persisted table is digests only
+    # (bands × 16-byte keys per doc), tiny relative to the corpus
+    exploded = exploded.persist()
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (

@@ -27,17 +27,19 @@ from pyspark.sql import functions as F
 from . import ordered_core as core
 from ..schemas import ORDERED_OUTPUT_SCHEMA, STATUS_SCHEMA, ddl
 
-_W_DUP = None  # windows built lazily (need active session)
-
-
 def _dedupe(df: DataFrame) -> DataFrame:
-    # First arrival wins; with no arrival column any representative row is
-    # equivalent (text is a function of (conv_id, turn_idx) in this domain).
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts"))
+    """Drop duplicate (conv_id, turn_idx) deliveries, first-by-ts wins.
+
+    Implemented as lag() within the conv_id partitioning (NOT a window over
+    (conv_id, turn_idx)) so the downstream per-key prefix window reuses the
+    SAME exchange and sort — the whole batch ordering plan then shuffles the
+    data exactly once on conv_id."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    prev = F.lag("turn_idx").over(w)
     return (
-        df.withColumn("_dup_rn", F.row_number().over(w))
-        .filter(F.col("_dup_rn") == 1)
-        .drop("_dup_rn")
+        df.withColumn("_prev_idx", prev)
+        .filter(F.col("_prev_idx").isNull() | (F.col("_prev_idx") != F.col("turn_idx")))
+        .drop("_prev_idx")
     )
 
 
@@ -50,11 +52,32 @@ def ordered_emit_batch(
     if impl == "sql":
         deduped = _dedupe(df)
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        return (
+        wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+        emitted = (
             deduped.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("turn_idx").cast("long") == F.col("_rn") + (initial_idx - 1))
             .withColumn("emit_seq", F.col("_rn").cast("long"))
             .drop("_rn")
+        )
+        # per-turn running conversation depth (MarketDepth-snapshot analog);
+        # same conv_id partitioning + turn_idx order → reuses the exchange
+        return (
+            emitted.withColumn(
+                "n_user_cum",
+                F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).over(wcum),
+            )
+            .withColumn(
+                "n_assistant_cum",
+                F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).over(wcum),
+            )
+            .withColumn(
+                "n_tool_cum",
+                F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).over(wcum),
+            )
+            .withColumn(
+                "chars_cum",
+                F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("long")).over(wcum),
+            )
         )
     if impl == "pandas":
 
@@ -71,6 +94,10 @@ def ordered_emit_batch(
                     "tool": out["tool"],
                     "ts": pd.to_datetime(out["ts_us"], unit="us"),
                     "emit_seq": out["emit_seq"].astype("int64"),
+                    "n_user_cum": out["n_user_cum"].astype("int64"),
+                    "n_assistant_cum": out["n_assistant_cum"].astype("int64"),
+                    "n_tool_cum": out["n_tool_cum"].astype("int64"),
+                    "chars_cum": out["chars_cum"].astype("int64"),
                 }
             )
 

@@ -56,27 +56,43 @@ def default_is_last(pdf: pd.DataFrame) -> np.ndarray:
     return ((pdf["role"] == END_ROLE) & (pdf["text"] == END_TEXT)).to_numpy()
 
 
+# Shared immutable empty buffer: constructing a 5-column empty DataFrame per
+# state rehydration costs ~1 ms/group; apply_batch only ever REASSIGNS
+# state.buffer, never mutates it in place, so sharing is safe.
+_EMPTY_BUFFER = pd.DataFrame(
+    {
+        "turn_idx": pd.Series(dtype="int64"),
+        "role": pd.Series(dtype="object"),
+        "text": pd.Series(dtype="object"),
+        "tool": pd.Series(dtype="object"),
+        "ts_us": pd.Series(dtype="int64"),
+    }
+)
+
+
 def _empty_buffer() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "turn_idx": pd.Series(dtype="int64"),
-            "role": pd.Series(dtype="object"),
-            "text": pd.Series(dtype="object"),
-            "tool": pd.Series(dtype="object"),
-            "ts_us": pd.Series(dtype="int64"),
-        }
-    )
+    return _EMPTY_BUFFER
 
 
 @dataclass
 class OrderedState:
-    """Cursor + counters + sorted pending buffer for one key."""
+    """Cursor + counters + sorted pending buffer for one key.
+
+    The n_user/n_assistant/n_tool/chars counters are the conversation
+    "depth" accumulator — the transcript analog of the reference's
+    order-book state machine whose mutate()/produceResult() emits a derived
+    MarketDepth snapshot per in-order event (OrderBookBuilder.java:24-141):
+    every emitted turn carries the running conversation aggregate."""
 
     last_emitted: int = INITIAL_TURN_IDX - 1
     received_count: int = 0
     result_count: int = 0
     duplicate_count: int = 0
     last_event_received: bool = False
+    n_user: int = 0
+    n_assistant: int = 0
+    n_tool: int = 0
+    chars: int = 0
     buffer: pd.DataFrame = field(default_factory=_empty_buffer)
 
     @property
@@ -152,10 +168,35 @@ def apply_batch(
     if max_emit is not None:
         n_emit = min(n_emit, max_emit)
 
-    emitted = combined.iloc[keep[:n_emit]].reset_index(drop=True)
-    state.buffer = combined.iloc[keep[n_emit:]].reset_index(drop=True)
+    if n_emit == len(combined):
+        # common gap-free case: everything drains — one copy, no residue
+        emitted = (
+            combined.reset_index(drop=True)
+            if n_emit and (keep[:n_emit] == np.arange(n_emit)).all()
+            else combined.iloc[keep[:n_emit]].reset_index(drop=True)
+        )
+        state.buffer = _EMPTY_BUFFER
+    else:
+        emitted = combined.iloc[keep[:n_emit]].reset_index(drop=True)
+        state.buffer = combined.iloc[keep[n_emit:]].reset_index(drop=True)
 
     emitted["emit_seq"] = state.result_count + 1 + np.arange(n_emit, dtype=np.int64)
+
+    # produceResult() analog: per-emitted-turn running conversation depth
+    # (vectorized cumsums on role masks + text lengths).
+    roles = emitted["role"].to_numpy()
+    emitted["n_user_cum"] = state.n_user + np.cumsum(roles == "user")
+    emitted["n_assistant_cum"] = state.n_assistant + np.cumsum(roles == "assistant")
+    emitted["n_tool_cum"] = state.n_tool + np.cumsum(roles == "tool")
+    emitted["chars_cum"] = state.chars + np.cumsum(
+        emitted["text"].str.len().fillna(0).to_numpy(dtype=np.int64)
+    )
+    if n_emit:
+        state.n_user = int(emitted["n_user_cum"].iloc[-1])
+        state.n_assistant = int(emitted["n_assistant_cum"].iloc[-1])
+        state.n_tool = int(emitted["n_tool_cum"].iloc[-1])
+        state.chars = int(emitted["chars_cum"].iloc[-1])
+
     state.result_count += n_emit
     if n_emit:
         state.last_emitted = int(kept_idx[n_emit - 1])

@@ -106,10 +106,47 @@ def salted_ordered_emit_batch(
     # drop duplicate deliveries of released turns (first-by-ts, same rule as
     # ordered_batch._dedupe; exchange is on (conv_id, turn_idx) → no hot key)
     w_dup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
-    return (
+    released = (
         released.withColumn("_dup", F.row_number().over(w_dup))
         .filter(F.col("_dup") == 1)
-        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "emit_seq")
+        .withColumn("_block", ((t - initial_idx) / block).cast("long"))
+    )
+
+    # Running depth snapshot, two-phase like everything else here: block-local
+    # cumsums (salted partitioning) + per-block offsets (tiny merge), so the
+    # mega-key never needs a single-partition prefix scan.
+    flags = {
+        "n_user_cum": F.when(F.col("role") == "user", 1).otherwise(0),
+        "n_assistant_cum": F.when(F.col("role") == "assistant", 1).otherwise(0),
+        "n_tool_cum": F.when(F.col("role") == "tool", 1).otherwise(0),
+        "chars_cum": F.coalesce(F.length("text"), F.lit(0)).cast("long"),
+    }
+    w_local = Window.partitionBy("conv_id", "_block").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for name, flag in flags.items():
+        released = released.withColumn(f"_loc_{name}", F.sum(flag).over(w_local))
+
+    totals = released.groupBy("conv_id", "_block").agg(
+        *[F.sum(flag).alias(f"_tot_{name}") for name, flag in flags.items()]
+    )
+    w_off = Window.partitionBy("conv_id").orderBy("_block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "conv_id",
+        "_block",
+        *[
+            F.coalesce(F.sum(f"_tot_{name}").over(w_off), F.lit(0)).alias(f"_off_{name}")
+            for name in flags
+        ],
+    )
+    joined = released.join(offsets, ["conv_id", "_block"])
+    for name in flags:
+        joined = joined.withColumn(name, (F.col(f"_off_{name}") + F.col(f"_loc_{name}")).cast("long"))
+    return joined.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "emit_seq",
+        "n_user_cum", "n_assistant_cum", "n_tool_cum", "chars_cum",
     )
 
 

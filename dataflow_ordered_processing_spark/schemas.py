@@ -22,10 +22,19 @@ TRANSCRIPT_SCHEMA = T.StructType(
     ]
 )
 
-# Ordered output = input columns + emission metadata.
+# Ordered output = input columns + emission metadata + the per-turn running
+# conversation-depth snapshot (the MarketDepth analog: the reference emits a
+# derived state snapshot per in-order event, OrderBookBuilder.java:92-141).
+DEPTH_FIELDS = [
+    T.StructField("n_user_cum", T.LongType(), True),
+    T.StructField("n_assistant_cum", T.LongType(), True),
+    T.StructField("n_tool_cum", T.LongType(), True),
+    T.StructField("chars_cum", T.LongType(), True),
+]
 ORDERED_OUTPUT_SCHEMA = T.StructType(
     list(TRANSCRIPT_SCHEMA.fields)
     + [T.StructField("emit_seq", T.LongType(), False)]  # 1-based per-key emission ordinal
+    + DEPTH_FIELDS
 )
 
 # OrderedProcessingStatus analog — field set from the reference's
@@ -72,6 +81,10 @@ STATE_SCHEMA = T.StructType(
         T.StructField("result_count", T.LongType(), False),
         T.StructField("duplicate_count", T.LongType(), False),
         T.StructField("last_event_received", T.BooleanType(), False),
+        T.StructField("n_user", T.LongType(), False),
+        T.StructField("n_assistant", T.LongType(), False),
+        T.StructField("n_tool", T.LongType(), False),
+        T.StructField("chars", T.LongType(), False),
         T.StructField("buf_turn_idx", T.ArrayType(T.LongType()), True),
         T.StructField("buf_role", T.ArrayType(T.StringType()), True),
         T.StructField("buf_text", T.ArrayType(T.StringType()), True),

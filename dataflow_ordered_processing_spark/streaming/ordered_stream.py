@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame
 from ..operators import ordered_core as core
 from ..schemas import STATE_SCHEMA, STREAM_OUTPUT_SCHEMA
 
-_DATA_COLS = ["turn_idx", "role", "text", "tool", "ts", "emit_seq"]
+_DEPTH_COLS = ["n_user_cum", "n_assistant_cum", "n_tool_cum", "chars_cum"]
+_DATA_COLS = ["turn_idx", "role", "text", "tool", "ts", "emit_seq", *_DEPTH_COLS]
 _STATUS_COLS = [
     "last_emitted",
     "buffered_count",
@@ -74,6 +75,7 @@ class OrderedStreamConfig:
 
 
 def _state_to_tuple(st: core.OrderedState) -> tuple:
+    # field order MUST match schemas.STATE_SCHEMA
     buf = st.buffer
     return (
         st.last_emitted,
@@ -81,6 +83,10 @@ def _state_to_tuple(st: core.OrderedState) -> tuple:
         st.result_count,
         st.duplicate_count,
         st.last_event_received,
+        st.n_user,
+        st.n_assistant,
+        st.n_tool,
+        st.chars,
         buf["turn_idx"].tolist(),
         buf["role"].tolist(),
         buf["text"].tolist(),
@@ -92,11 +98,11 @@ def _state_to_tuple(st: core.OrderedState) -> tuple:
 def _state_from_tuple(t: tuple) -> core.OrderedState:
     buf = pd.DataFrame(
         {
-            "turn_idx": pd.Series(list(t[5] or []), dtype="int64"),
-            "role": pd.Series(list(t[6] or []), dtype="object"),
-            "text": pd.Series(list(t[7] or []), dtype="object"),
-            "tool": pd.Series(list(t[8] or []), dtype="object"),
-            "ts_us": pd.Series(list(t[9] or []), dtype="int64"),
+            "turn_idx": pd.Series(list(t[9] or []), dtype="int64"),
+            "role": pd.Series(list(t[10] or []), dtype="object"),
+            "text": pd.Series(list(t[11] or []), dtype="object"),
+            "tool": pd.Series(list(t[12] or []), dtype="object"),
+            "ts_us": pd.Series(list(t[13] or []), dtype="int64"),
         }
     )
     return core.OrderedState(
@@ -105,51 +111,58 @@ def _state_from_tuple(t: tuple) -> core.OrderedState:
         result_count=int(t[2]),
         duplicate_count=int(t[3]),
         last_event_received=bool(t[4]),
+        n_user=int(t[5]),
+        n_assistant=int(t[6]),
+        n_tool=int(t[7]),
+        chars=int(t[8]),
         buffer=buf,
     )
 
 
-def _out_frame(conv_id: str, emitted: pd.DataFrame | None, status: dict | None) -> pd.DataFrame:
-    """Assemble one STREAM_OUTPUT_SCHEMA pandas frame (data rows + status row)."""
-    frames = []
-    if emitted is not None and len(emitted):
-        d = pd.DataFrame(
-            {
-                "row_type": "data",
-                "conv_id": conv_id,
-                "turn_idx": emitted["turn_idx"].astype("int32"),
-                "role": emitted["role"],
-                "text": emitted["text"],
-                "tool": emitted["tool"],
-                "ts": pd.to_datetime(emitted["ts_us"], unit="us"),
-                "emit_seq": emitted["emit_seq"].astype("int64"),
-            }
-        )
-        for c in ("status_ts", *_STATUS_COLS):
-            d[c] = None
-        frames.append(d)
-    if status is not None:
-        s = pd.DataFrame(
-            {
-                "row_type": ["status"],
-                "conv_id": [conv_id],
-                "turn_idx": [None],
-                "role": [None],
-                "text": [None],
-                "tool": [None],
-                "ts": [pd.NaT],
-                "emit_seq": [None],
-                "status_ts": [datetime.now(timezone.utc).replace(tzinfo=None)],
-                **{c: [status[c]] for c in _STATUS_COLS},
-            }
-        )
-        frames.append(s)
-    if not frames:
-        return pd.DataFrame()
-    out = pd.concat(frames, ignore_index=True)
-    # pandas upcasts None→NaN; normalize nullable ints to object-free floats is
-    # fine for Arrow (nullable int64 target), but booleans must stay bool/None.
-    return out
+def _data_frame(conv_id: str, emitted: pd.DataFrame) -> pd.DataFrame:
+    """STREAM_OUTPUT_SCHEMA frame of data rows — dict-of-arrays construction,
+    no concat, int64-μs → datetime64[us] via view (zero-copy)."""
+    n = len(emitted)
+    nan = np.full(n, np.nan)
+    none = np.full(n, None, dtype=object)
+    return pd.DataFrame(
+        {
+            "row_type": np.full(n, "data", dtype=object),
+            "conv_id": np.full(n, conv_id, dtype=object),
+            "turn_idx": emitted["turn_idx"].to_numpy(dtype="int32", copy=False),
+            "role": emitted["role"].to_numpy(copy=False),
+            "text": emitted["text"].to_numpy(copy=False),
+            "tool": emitted["tool"].to_numpy(copy=False),
+            "ts": emitted["ts_us"].to_numpy(dtype="int64", copy=False).view("M8[us]"),
+            "emit_seq": emitted["emit_seq"].to_numpy(dtype="int64", copy=False),
+            **{
+                c: emitted[c].to_numpy(dtype="int64", copy=False) for c in _DEPTH_COLS
+            },
+            "status_ts": pd.Series(np.full(n, None), dtype="datetime64[us]"),
+            **{c: nan for c in _STATUS_COLS if c != "last_event_received"},
+            "last_event_received": none,
+        }
+    )
+
+
+def _status_frame(conv_id: str, status: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "row_type": ["status"],
+            "conv_id": [conv_id],
+            "turn_idx": [None],
+            "role": [None],
+            "text": [None],
+            "tool": [None],
+            "ts": pd.Series([None], dtype="datetime64[us]"),
+            "emit_seq": [None],
+            **{c: [None] for c in _DEPTH_COLS},
+            "status_ts": pd.Series(
+                [datetime.now(timezone.utc).replace(tzinfo=None)], dtype="datetime64[us]"
+            ),
+            **{c: [status[c]] for c in _STATUS_COLS},
+        }
+    )
 
 
 def make_ordered_func(cfg: OrderedStreamConfig):
@@ -164,15 +177,16 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             del status["conv_id"]
             if cfg.status_heartbeat_ms:
                 state.setTimeoutDuration(cfg.status_heartbeat_ms)
-            yield _out_frame(conv_id, None, status)
+            yield _status_frame(conv_id, status)
             return
 
         st = _state_from_tuple(tuple(state.get)) if state.exists else core.OrderedState(
             last_emitted=cfg.initial_turn_idx - 1
         )
 
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch["ts_us"] = core.ts_to_us(batch["ts"])
+        frames = list(pdfs)
+        batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        batch = batch.assign(ts_us=core.ts_to_us(batch["ts"]))
         emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
 
         status = None
@@ -187,9 +201,10 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             if cfg.status_heartbeat_ms:
                 state.setTimeoutDuration(cfg.status_heartbeat_ms)
 
-        out = _out_frame(conv_id, emitted, status)
-        if len(out):
-            yield out
+        if len(emitted):
+            yield _data_frame(conv_id, emitted)
+        if status is not None:
+            yield _status_frame(conv_id, status)
 
     return func
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .ordered_stream import OrderedStreamConfig, ordered_stream, split_output
+from .ordered_stream import OrderedStreamConfig, ordered_stream
 
 
 @dataclass(frozen=True)
@@ -56,37 +56,48 @@ def _write_idempotent(df: DataFrame, base: str, epoch_id: int) -> None:
 
 
 def split_sink(cfg: SinkConfig):
-    """foreachBatch function writing data/status/DLQ from one micro-batch."""
+    """foreachBatch function landing one micro-batch exactly once.
+
+    The unified batch (data + status rows, row_type discriminator) is written
+    in ONE pass per epoch; the data/status "tables" are row_type-filtered
+    reads (read_sink). One pass matters twice over: the stateful operator's
+    output is consumed by exactly one job (re-evaluating it inside
+    foreachBatch would re-run the state store update), and the sink stage —
+    the least parallelizable part of the pipeline on shared disks — does half
+    the IO of a dual write. With an Iceberg catalog the same unified table is
+    appended and the filters become metadata-pruned scans on row_type."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.persist()
+        unified = batch_df.withColumn("ingest_ts", F.current_timestamp())
         try:
-            data, status = split_output(batch_df)
-            data = data.withColumn("ingest_ts", F.current_timestamp())
             if cfg.iceberg_table:
-                data.writeTo(cfg.iceberg_table).append()
+                unified.writeTo(cfg.iceberg_table).append()
             else:
-                _write_idempotent(data, cfg.data_path, epoch_id)
-            if cfg.status_path:
-                _write_idempotent(status, cfg.status_path, epoch_id)
+                _write_idempotent(unified, cfg.data_path, epoch_id)
         except Exception:
             if cfg.dlq_path:
-                _write_idempotent(
-                    batch_df.withColumn("ingest_ts", F.current_timestamp()),
-                    cfg.dlq_path,
-                    epoch_id,
-                )
+                _write_idempotent(unified, cfg.dlq_path, epoch_id)
             raise
-        finally:
-            batch_df.unpersist()
 
     return write_batch
 
 
-def read_sink(spark: SparkSession, base: str) -> DataFrame:
-    """Read an epoch-partitioned sink back as one table."""
-    return spark.read.option("basePath", base).parquet(os.path.join(base, "epoch=*")).drop(
-        "epoch"
+def read_sink(spark: SparkSession, base: str, table: str = "data") -> DataFrame:
+    """Read the data or status table back from the unified epoch sink.
+    row_type filter + column pruning push down to the parquet scan."""
+    from .ordered_stream import _DATA_COLS, _STATUS_COLS
+
+    unified = spark.read.option("basePath", base).parquet(
+        os.path.join(base, "epoch=*")
+    ).drop("epoch")
+    if table == "unified":
+        return unified
+    if table == "data":
+        return unified.filter(F.col("row_type") == "data").select(
+            "conv_id", *_DATA_COLS, "ingest_ts"
+        )
+    return unified.filter(F.col("row_type") == "status").select(
+        "conv_id", "status_ts", *_STATUS_COLS
     )
 
 
