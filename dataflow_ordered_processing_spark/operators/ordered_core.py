@@ -130,20 +130,29 @@ def apply_batch(
     n_in = len(batch)
     state.received_count += n_in
 
+    # Work on bare numpy arrays: per-group latency IS the engine's streaming
+    # throughput ceiling (one invocation per key per micro-batch), so the hot
+    # path avoids intermediate DataFrames entirely.
+    buf = state.buffer
+    n_buf = len(buf)
     if n_in:
         # Last-event detection happens on ARRIVAL (even if the event buffers),
         # matching OrderedProcessingStatus.lastEventReceived semantics.
         if bool(is_last(batch).any()):
             state.last_event_received = True
-        combined = (
-            pd.concat([state.buffer, batch[BUF_COLS]], ignore_index=True)
-            if len(state.buffer)
-            else batch[BUF_COLS].reset_index(drop=True)
-        )
+        if n_buf:
+            cols = {
+                c: np.concatenate(
+                    [buf[c].to_numpy(copy=False), batch[c].to_numpy(copy=False)]
+                )
+                for c in BUF_COLS
+            }
+        else:
+            cols = {c: batch[c].to_numpy(copy=False) for c in BUF_COLS}
     else:
-        combined = state.buffer
+        cols = {c: buf[c].to_numpy(copy=False) for c in BUF_COLS}
 
-    idx = combined["turn_idx"].to_numpy(dtype=np.int64, copy=False)
+    idx = cols["turn_idx"].astype(np.int64, copy=False)
 
     # Stable sort → earlier arrival (buffer before batch) wins on duplicates.
     order = np.argsort(idx, kind="stable")
@@ -168,39 +177,38 @@ def apply_batch(
     if max_emit is not None:
         n_emit = min(n_emit, max_emit)
 
-    if n_emit == len(combined):
-        # common gap-free case: everything drains — one copy, no residue
-        emitted = (
-            combined.reset_index(drop=True)
-            if n_emit and (keep[:n_emit] == np.arange(n_emit)).all()
-            else combined.iloc[keep[:n_emit]].reset_index(drop=True)
-        )
-        state.buffer = _EMPTY_BUFFER
+    emit_ix = keep[:n_emit]
+    emitted_cols = {c: cols[c][emit_ix] for c in BUF_COLS}
+    rest_ix = keep[n_emit:]
+    if len(rest_ix):
+        state.buffer = pd.DataFrame({c: cols[c][rest_ix] for c in BUF_COLS})
     else:
-        emitted = combined.iloc[keep[:n_emit]].reset_index(drop=True)
-        state.buffer = combined.iloc[keep[n_emit:]].reset_index(drop=True)
+        state.buffer = _EMPTY_BUFFER
 
-    emitted["emit_seq"] = state.result_count + 1 + np.arange(n_emit, dtype=np.int64)
+    emitted_cols["emit_seq"] = state.result_count + 1 + np.arange(
+        n_emit, dtype=np.int64
+    )
 
     # produceResult() analog: per-emitted-turn running conversation depth
     # (vectorized cumsums on role masks + text lengths).
-    roles = emitted["role"].to_numpy()
-    emitted["n_user_cum"] = state.n_user + np.cumsum(roles == "user")
-    emitted["n_assistant_cum"] = state.n_assistant + np.cumsum(roles == "assistant")
-    emitted["n_tool_cum"] = state.n_tool + np.cumsum(roles == "tool")
-    emitted["chars_cum"] = state.chars + np.cumsum(
-        emitted["text"].str.len().fillna(0).to_numpy(dtype=np.int64)
+    roles = emitted_cols["role"]
+    texts = emitted_cols["text"]
+    emitted_cols["n_user_cum"] = state.n_user + np.cumsum(roles == "user")
+    emitted_cols["n_assistant_cum"] = state.n_assistant + np.cumsum(
+        roles == "assistant"
+    )
+    emitted_cols["n_tool_cum"] = state.n_tool + np.cumsum(roles == "tool")
+    emitted_cols["chars_cum"] = state.chars + np.cumsum(
+        np.array([len(t) if t is not None else 0 for t in texts], dtype=np.int64)
     )
     if n_emit:
-        state.n_user = int(emitted["n_user_cum"].iloc[-1])
-        state.n_assistant = int(emitted["n_assistant_cum"].iloc[-1])
-        state.n_tool = int(emitted["n_tool_cum"].iloc[-1])
-        state.chars = int(emitted["chars_cum"].iloc[-1])
-
-    state.result_count += n_emit
-    if n_emit:
+        state.n_user = int(emitted_cols["n_user_cum"][-1])
+        state.n_assistant = int(emitted_cols["n_assistant_cum"][-1])
+        state.n_tool = int(emitted_cols["n_tool_cum"][-1])
+        state.chars = int(emitted_cols["chars_cum"][-1])
         state.last_emitted = int(kept_idx[n_emit - 1])
-    return emitted
+    state.result_count += n_emit
+    return pd.DataFrame(emitted_cols, copy=False)
 
 
 def status_dict(conv_id: str, state: OrderedState) -> dict:

