@@ -256,6 +256,31 @@ def _q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(embs, queries, k=5, n_planes=4)
 
 
+def _q_trailing_avg(spark, sf_dir):
+    """A3 analog (reference Simulator.java:120-134 trailing VWAP): trailing
+    mean text length over the last 5 turns per conversation, in turn order."""
+    from pyspark.sql import Window
+
+    t = derive_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-4, 0)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.round(F.avg(F.coalesce(F.length("text"), F.lit(0))).over(w), 6).alias(
+            "trailing_mean_chars"
+        ),
+    )
+
+
+def _q_latest_conversation(spark, sf_dir):
+    """Q6 analog (reference README.md:99-103 latest-session scan): the most
+    recently active conversation."""
+    t = derive_transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(F.max("ts").alias("last_ts")).orderBy(
+        F.desc("last_ts"), F.desc("conv_id")
+    ).limit(1)
+
+
 def _q_role_rollup(spark, sf_dir):
     """GROUP BY ROLLUP over the transcript dimensions (SURVEY §2.8: the
     set-op/grouping family comes free with Spark SQL)."""
@@ -319,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session,
         "user_assistant_pairs": _q_user_assistant,
         "role_rollup": _q_role_rollup,
+        "trailing_avg": _q_trailing_avg,
+        "latest_conversation": _q_latest_conversation,
         "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -445,6 +472,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, user_turn_idx, assistant_turn_idx, user_ts, assistant_ts
             FROM j WHERE rn = 1
+            """
+        ),
+        "trailing_avg": _with_transcripts(
+            """
+            SELECT conv_id, turn_idx,
+                   round(avg(coalesce(length(text), 0)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                       AS trailing_mean_chars
+            FROM transcripts
+            """
+        ),
+        "latest_conversation": _with_transcripts(
+            """
+            SELECT conv_id, max(ts) AS last_ts FROM transcripts
+            GROUP BY conv_id ORDER BY last_ts DESC, conv_id DESC LIMIT 1
             """
         ),
         "role_rollup": _with_transcripts(

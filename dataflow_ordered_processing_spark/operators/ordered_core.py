@@ -93,6 +93,7 @@ class OrderedState:
     n_assistant: int = 0
     n_tool: int = 0
     chars: int = 0
+    idle_heartbeats: int = 0  # timer firings since last arrival (TTL eviction)
     buffer: pd.DataFrame = field(default_factory=_empty_buffer)
 
     @property

@@ -90,6 +90,8 @@ STATE_SCHEMA = T.StructType(
         T.StructField("buf_text", T.ArrayType(T.StringType()), True),
         T.StructField("buf_tool", T.ArrayType(T.StringType()), True),
         T.StructField("buf_ts_us", T.ArrayType(T.LongType()), True),
+        # timer firings since the last arrival (drives idle-state eviction)
+        T.StructField("idle_heartbeats", T.LongType(), False),
     ]
 )
 

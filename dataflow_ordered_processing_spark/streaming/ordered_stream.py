@@ -72,6 +72,12 @@ class OrderedStreamConfig:
     # re-emits, and the sink's (conv_id, turn_idx) idempotent MERGE is what
     # guarantees exactly-once.
     cleanup_on_complete: bool = False
+    # State TTL (bounds state for turns that never arrive — the reference
+    # leaves this open, docs/pipeline-design.md:124-128): when set, a key
+    # idle for this long (no arrivals between two timer firings) emits a
+    # final status row and its state is EVICTED — pending buffered turns are
+    # dropped. Requires status_heartbeat_ms (the timer that detects idleness).
+    evict_idle_after_heartbeats: int | None = None
 
 
 def _state_to_tuple(st: core.OrderedState) -> tuple:
@@ -92,6 +98,7 @@ def _state_to_tuple(st: core.OrderedState) -> tuple:
         buf["text"].tolist(),
         buf["tool"].tolist(),
         buf["ts_us"].tolist(),
+        st.idle_heartbeats,
     )
 
 
@@ -115,6 +122,7 @@ def _state_from_tuple(t: tuple) -> core.OrderedState:
         n_assistant=int(t[6]),
         n_tool=int(t[7]),
         chars=int(t[8]),
+        idle_heartbeats=int(t[14]) if len(t) > 14 and t[14] is not None else 0,
         buffer=buf,
     )
 
@@ -173,10 +181,22 @@ def make_ordered_func(cfg: OrderedStreamConfig):
 
         if state.hasTimedOut:
             st = _state_from_tuple(tuple(state.get))
+            st.idle_heartbeats += 1
             status = core.status_dict(conv_id, st)
             del status["conv_id"]
-            if cfg.status_heartbeat_ms:
-                state.setTimeoutDuration(cfg.status_heartbeat_ms)
+            evict = (
+                cfg.evict_idle_after_heartbeats is not None
+                and st.idle_heartbeats >= cfg.evict_idle_after_heartbeats
+            )
+            if evict:
+                # state TTL (SURVEY §7): gap never closed — drop pending
+                # turns, free the state; the emitted status is the tombstone
+                # record (gap_report picks it up downstream)
+                state.remove()
+            else:
+                state.update(_state_to_tuple(st))
+                if cfg.status_heartbeat_ms:
+                    state.setTimeoutDuration(cfg.status_heartbeat_ms)
             yield _status_frame(conv_id, status)
             return
 
@@ -188,6 +208,7 @@ def make_ordered_func(cfg: OrderedStreamConfig):
         batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
         batch = batch.assign(ts_us=core.ts_to_us(batch["ts"]))
         emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
+        st.idle_heartbeats = 0  # arrival resets the idle-eviction clock
 
         status = None
         if cfg.emit_status_every_batch:

@@ -58,8 +58,23 @@ def main() -> int:
     ap.add_argument("--out", required=True, help="output base dir (data/, status/, dlq/)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--heartbeat-ms", type=int, default=None)
+    ap.add_argument(
+        "--evict-idle-heartbeats",
+        type=int,
+        default=None,
+        help="state TTL: evict a key after this many idle timer firings "
+        "(requires --heartbeat-ms)",
+    )
     ap.add_argument("--trigger-s", type=float, default=None)
     ap.add_argument("--available-now", action="store_true")
+    ap.add_argument(
+        "--run-seconds",
+        type=float,
+        default=None,
+        help="run the stream for a fixed duration then stop (required for "
+        "timer-driven modes: processAllAvailable never quiesces while "
+        "processing-time timers keep scheduling batches)",
+    )
     ap.add_argument("--master", default=None, help="override master (tests/bench only)")
     ap.add_argument(
         "--no-warmup",
@@ -93,7 +108,10 @@ def main() -> int:
         BufferMetricsListener(os.path.join(args.out, "metrics.jsonl"))
     )
 
-    cfg = OrderedStreamConfig(status_heartbeat_ms=args.heartbeat_ms)
+    cfg = OrderedStreamConfig(
+        status_heartbeat_ms=args.heartbeat_ms,
+        evict_idle_after_heartbeats=args.evict_idle_heartbeats,
+    )
     sink = SinkConfig(
         data_path=os.path.join(args.out, "data"),
         status_path=os.path.join(args.out, "status"),
@@ -122,7 +140,10 @@ def main() -> int:
 
     t0 = time.time()
     q = writer.start()
-    if args.available_now:
+    if args.run_seconds:
+        q.awaitTermination(args.run_seconds)
+        q.stop()
+    elif args.available_now:
         q.awaitTermination()
     else:
         q.processAllAvailable()

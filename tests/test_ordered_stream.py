@@ -177,3 +177,47 @@ def test_heartbeat_status_for_idle_gapped_key(spark, tmp_path):
         assert hb["buffered_count"] == 2 and hb["last_emitted"] == 2
     finally:
         q.stop()
+
+
+def test_idle_state_eviction(spark, tmp_path):
+    # State TTL (SURVEY §7): a key stuck on a gap is evicted after K idle
+    # heartbeats — pending turns dropped, state freed, final status emitted.
+    cfg = OrderedStreamConfig(status_heartbeat_ms=300, evict_idle_after_heartbeats=3)
+
+    from streaming_utils import StagedStream
+    from dataflow_ordered_processing_spark.streaming import ordered_stream
+
+    st_src = StagedStream(spark, str(tmp_path))
+    q = (
+        ordered_stream(st_src.source(), cfg)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        for b in scenario("gap_never_arrives"):
+            st_src.push(b)
+        deadline = time.time() + 120
+        # wait until the state store is empty (key evicted)
+        while time.time() < deadline:
+            prog = q.lastProgress
+            if (
+                prog
+                and prog["stateOperators"]
+                and prog["stateOperators"][0]["numRowsTotal"] == 0
+                and prog["batchId"] > 3
+            ):
+                break
+            time.sleep(0.5)
+        prog = q.lastProgress
+        assert prog["stateOperators"][0]["numRowsTotal"] == 0, "state not evicted"
+        # the tombstone status still reports the unresolved gap
+        last = spark.sql(
+            "SELECT * FROM evict WHERE row_type='status' ORDER BY received_count DESC, "
+            "buffered_count DESC LIMIT 1"
+        ).collect()[0]
+        assert last["buffered_count"] == 2 and last["last_emitted"] == 2
+    finally:
+        q.stop()
