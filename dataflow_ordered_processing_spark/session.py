@@ -32,11 +32,28 @@ def package_zip() -> str:
     return out
 
 
+def iceberg_conf(warehouse: str, catalog: str = "local") -> dict[str, str]:
+    """Spark conf for a local Hadoop-backed Iceberg catalog. Requires the
+    iceberg-spark-runtime jar on the classpath (NOT in this sandbox image —
+    pass via --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 on
+    a real cluster); the conf itself is inert until an iceberg table is
+    touched, so it is safe to set unconditionally."""
+    return {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "ordered-transcripts",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -61,6 +78,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )
+    if iceberg_warehouse:
+        for k, v in iceberg_conf(iceberg_warehouse).items():
+            b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
