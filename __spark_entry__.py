@@ -220,6 +220,23 @@ def _q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, k=8, bands=4)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact Jaccard verify stage over the MinHash-LSH candidates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
+    return dedup.ngram_jaccard(pairs, docs, shingle=3)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic synthetic media → mapInPandas
+    decode/resize/frame-sample features (decode stubbed — no imaging libs in
+    this image; rows-only driver check)."""
+    from dataflow_ordered_processing_spark.functions import multimodal
+
+    media = multimodal.synth_media(spark, n=64)
+    return multimodal.extract_features(media)
+
+
 def _q_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(docs)
@@ -349,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "multimodal_features": _q_multimodal_features,
         "simhash": _q_simhash,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -529,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_lsh_pairs": _MINHASH_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "simhash": _SIMHASH_ORACLE,
         "fingerprint": _FINGERPRINT_ORACLE,
         "lang_id": _LANG_ID_ORACLE,
@@ -573,6 +593,34 @@ bands AS (
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+_SHINGLES3 = (
+    "list_transform(range(1, greatest(len(w) - 2, 1) + 1), "
+    "i -> array_to_string(w[i:i+2], ' '))"
+)
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),
+sh5 AS (SELECT doc_id, list_distinct({_SHINGLES5}) AS sh FROM w),
+sig AS (SELECT doc_id,
+  {', '.join(f"list_min(list_transform(sh, s -> md5('seed{i}:' || s))) AS mh_{i}" for i in range(8))}
+FROM sh5),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+      for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sh3 AS (SELECT doc_id, list_distinct({_SHINGLES3}) AS sh FROM w)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+           AS jaccard
+FROM cand c JOIN sh3 a ON c.doc_a = a.doc_id JOIN sh3 b ON c.doc_b = b.doc_id
 """
 
 _SIMHASH_ORACLE = f"""

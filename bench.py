@@ -129,10 +129,16 @@ def main() -> int:
     run("session_windows", lambda: E._q_session(spark, sf_dir).count())
     run("user_assistant_pairs", lambda: E._q_user_assistant(spark, sf_dir).count())
     run("events_sessionize", lambda: E._q_events_sessionize(spark, sf_dir).count())
+    run("role_rollup", lambda: E._q_role_rollup(spark, sf_dir).count())
+    run("trailing_avg", lambda: E._q_trailing_avg(spark, sf_dir).count())
     run("dedup_exact", lambda: E._q_dedup_exact(spark, sf_dir).count())
     run("minhash_lsh_pairs", lambda: E._q_minhash_pairs(spark, sf_dir).count())
+    run("ngram_jaccard", lambda: E._q_ngram_jaccard(spark, sf_dir).count())
     run("simhash", lambda: E._q_simhash(spark, sf_dir).count())
+    run("text_stats", lambda: E._q_quality(spark, sf_dir).count())
     run("brute_force_topk", lambda: E._q_brute_topk(spark, sf_dir).count())
+    run("lsh_topk", lambda: E._q_lsh_topk(spark, sf_dir).count())
+    run("multimodal_features", lambda: E._q_multimodal_features(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -139,3 +139,41 @@ def test_stream_user_assistant_join_matches_full_join(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_stream_session_windows(spark, tmp_path):
+    from dataflow_ordered_processing_spark.streaming.windows import stream_session_windows
+
+    pdf = scenario("windows_joins")[0]
+    t_max = pdf["ts"].max()
+    st = StagedStream(spark, str(tmp_path))
+    q = (
+        stream_session_windows(st.source(), gap="30 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess")
+        .start()
+    )
+    try:
+        st.push(pdf)
+        q.processAllAvailable()
+        for i, h in enumerate((4, 5)):  # two watermark pushes (takes effect next batch)
+            st.push(_pusher(f"conv-wm{i}", t_max + pd.Timedelta(hours=h)))
+            q.processAllAvailable()
+        got = (
+            spark.sql("SELECT * FROM sess WHERE conv_id LIKE 'conv-0%'")
+            .toPandas()
+            .sort_values(["conv_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        want = (
+            A.session_windows(
+                spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA), "30 minutes"
+            )
+            .toPandas()
+            .sort_values(["conv_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_like=True)
+    finally:
+        q.stop()
