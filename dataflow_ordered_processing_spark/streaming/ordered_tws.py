@@ -1,0 +1,293 @@
+"""Ordered processor on transformWithStateInPandas (Spark 4 stateful v2).
+
+Same contract as streaming/ordered_stream.py (O1–O10 + depth snapshots; see
+that module and ordered_core.py for the semantics citations), but built on
+the modern StatefulProcessor API with RocksDB state, which changes the state
+I/O complexity:
+
+  - cursor + counters + buffer STATISTICS live in a ValueState (tiny row);
+  - pending out-of-order rows live in a ListState that is APPENDED
+    incrementally — arrivals beyond an open gap never read or rewrite the
+    existing buffer (applyInPandasWithState must rehydrate and rewrite the
+    whole state every batch);
+  - the buffer list is only materialized when an arrival actually closes
+    the gap (turn last_emitted+1 shows up) — then it drains, and the
+    remainder is rewritten once.
+
+Divergence (documented): rows duplicated WITHIN the pending buffer are
+detected at drain time, not arrival time, so duplicate_count on interim
+status rows can lag the classic operator; final counts are identical (the
+reference declares in-buffer duplicate behavior unpredictable,
+docs/pipeline-design.md:115-122).
+
+Requires the RocksDB state store provider:
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+AND the `protobuf` python package (pyspark's transform_with_state driver
+worker imports StateMessage_pb2) — NOT present in this sandbox image, so
+this module is import-gated: `tws_available()` reports usability, tests
+skip when absent, and the classic applyInPandasWithState operator
+(ordered_stream.py) remains the default engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from ..operators import ordered_core as core
+from ..schemas import STREAM_OUTPUT_SCHEMA
+from .ordered_stream import _data_frame, _status_frame
+
+CURSOR_SCHEMA = (
+    "last_emitted long, received_count long, result_count long, "
+    "duplicate_count long, last_event_received boolean, n_user long, "
+    "n_assistant long, n_tool long, chars long, "
+    "buf_count long, buf_min long, buf_max long"
+)
+BUFFER_SCHEMA = "turn_idx long, role string, text string, tool string, ts_us long"
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf on the python side."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@dataclass(frozen=True)
+class TwsConfig:
+    emit_status_every_batch: bool = True
+    initial_turn_idx: int = core.INITIAL_TURN_IDX
+    state_ttl_ms: int | None = None  # native per-state TTL (bounds zombie keys)
+
+
+_DEFAULT_CURSOR = (0, 0, 0, 0, False, 0, 0, 0, 0, 0, 0, 0)
+
+
+class OrderedProcessor(StatefulProcessor):
+    def __init__(self, cfg: TwsConfig | None = None):
+        self.cfg = cfg or TwsConfig()
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        ttl = self.cfg.state_ttl_ms
+        self.cursor = handle.getValueState("cursor", CURSOR_SCHEMA, ttl)
+        self.buffer = handle.getListState("buffer", BUFFER_SCHEMA, ttl)
+
+    def close(self) -> None:
+        pass
+
+    # ------------------------------------------------------------------
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        cfg = self.cfg
+        frames = list(rows)
+        batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        n_in = len(batch)
+
+        cur = tuple(self.cursor.get()) if self.cursor.exists() else None
+        if cur is None:
+            cur = (cfg.initial_turn_idx - 1,) + _DEFAULT_CURSOR[1:]
+        (
+            last_emitted,
+            received,
+            result,
+            dups,
+            last_event,
+            n_user,
+            n_assistant,
+            n_tool,
+            chars,
+            buf_count,
+            buf_min,
+            buf_max,
+        ) = cur
+        received += n_in
+
+        if bool(core.default_is_last(batch).any()):
+            last_event = True
+
+        # sort + dedupe the arrival batch, drop <= cursor (count dups)
+        idx = batch["turn_idx"].to_numpy(dtype=np.int64, copy=True)
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order]
+        fresh = np.empty(len(sidx), dtype=bool)
+        if len(sidx):
+            fresh[0] = sidx[0] > last_emitted
+            np.greater(sidx[1:], sidx[:-1], out=fresh[1:])
+            fresh[1:] &= sidx[1:] > last_emitted
+        dups += int(len(sidx) - fresh.sum())
+        keep = order[fresh]
+        kidx = sidx[fresh]
+
+        cols = {
+            "turn_idx": kidx,
+            "role": batch["role"].to_numpy(copy=False)[keep],
+            "text": batch["text"].to_numpy(copy=False)[keep],
+            "tool": batch["tool"].to_numpy(copy=False)[keep],
+            "ts_us": core.ts_to_us(batch["ts"]).to_numpy()[keep],
+        }
+
+        gap_closed = len(kidx) > 0 and int(kidx[0]) == last_emitted + 1
+        emitted_cols = None
+
+        if buf_count == 0:
+            # no pending buffer: drain the batch's own contiguous prefix
+            expect = last_emitted + 1 + np.arange(len(kidx), dtype=np.int64)
+            mismatch = np.nonzero(kidx != expect)[0]
+            n_emit = int(mismatch[0]) if len(mismatch) else len(kidx)
+            emitted_cols = {c: v[:n_emit] for c, v in cols.items()}
+            rest = {c: v[n_emit:] for c, v in cols.items()}
+            if len(rest["turn_idx"]):
+                self.buffer.appendList(_tuples(rest))
+                buf_count += len(rest["turn_idx"])
+                buf_min = int(rest["turn_idx"].min())
+                buf_max = int(rest["turn_idx"].max())
+            if n_emit:
+                last_emitted = int(kidx[n_emit - 1])
+        elif not gap_closed:
+            # arrival can't drain anything — APPEND ONLY, never read the list
+            if len(kidx):
+                self.buffer.appendList(_tuples(cols))
+                buf_count += len(kidx)
+                buf_min = int(min(buf_min, kidx.min())) if buf_count else int(kidx.min())
+                buf_max = int(max(buf_max, kidx.max()))
+        else:
+            # the gap closes: materialize buffer once, merge, drain, rewrite
+            pending = list(self.buffer.get())
+            merged = {
+                "turn_idx": np.concatenate(
+                    [np.fromiter((p[0] for p in pending), dtype=np.int64, count=len(pending)), kidx]
+                ),
+                "role": np.concatenate(
+                    [np.array([p[1] for p in pending], dtype=object), cols["role"]]
+                ),
+                "text": np.concatenate(
+                    [np.array([p[2] for p in pending], dtype=object), cols["text"]]
+                ),
+                "tool": np.concatenate(
+                    [np.array([p[3] for p in pending], dtype=object), cols["tool"]]
+                ),
+                "ts_us": np.concatenate(
+                    [np.fromiter((p[4] for p in pending), dtype=np.int64, count=len(pending)), cols["ts_us"]]
+                ),
+            }
+            midx = merged["turn_idx"]
+            morder = np.argsort(midx, kind="stable")
+            msidx = midx[morder]
+            mfresh = np.empty(len(msidx), dtype=bool)
+            mfresh[0] = msidx[0] > last_emitted
+            np.greater(msidx[1:], msidx[:-1], out=mfresh[1:])
+            mfresh[1:] &= msidx[1:] > last_emitted
+            dups += int(len(msidx) - mfresh.sum())  # in-buffer dups surface here
+            mkeep = morder[mfresh]
+            mkidx = msidx[mfresh]
+            expect = last_emitted + 1 + np.arange(len(mkidx), dtype=np.int64)
+            mismatch = np.nonzero(mkidx != expect)[0]
+            n_emit = int(mismatch[0]) if len(mismatch) else len(mkidx)
+            emitted_cols = {c: v[mkeep[:n_emit]] for c, v in merged.items()}
+            rest_ix = mkeep[n_emit:]
+            if len(rest_ix):
+                rest = {c: v[rest_ix] for c, v in merged.items()}
+                self.buffer.put(_tuples(rest))
+                buf_count = len(rest_ix)
+                buf_min = int(rest["turn_idx"].min())
+                buf_max = int(rest["turn_idx"].max())
+            else:
+                self.buffer.clear()
+                buf_count, buf_min, buf_max = 0, 0, 0
+            if n_emit:
+                last_emitted = int(mkidx[n_emit - 1])
+
+        # emission metadata + depth snapshot (produceResult analog)
+        if emitted_cols is not None and len(emitted_cols["turn_idx"]):
+            n_emit = len(emitted_cols["turn_idx"])
+            emitted_cols["emit_seq"] = result + 1 + np.arange(n_emit, dtype=np.int64)
+            roles = emitted_cols["role"]
+            emitted_cols["n_user_cum"] = n_user + np.cumsum(roles == "user")
+            emitted_cols["n_assistant_cum"] = n_assistant + np.cumsum(roles == "assistant")
+            emitted_cols["n_tool_cum"] = n_tool + np.cumsum(roles == "tool")
+            emitted_cols["chars_cum"] = chars + np.cumsum(
+                np.array(
+                    [len(t) if t is not None else 0 for t in emitted_cols["text"]],
+                    dtype=np.int64,
+                )
+            )
+            n_user = int(emitted_cols["n_user_cum"][-1])
+            n_assistant = int(emitted_cols["n_assistant_cum"][-1])
+            n_tool = int(emitted_cols["n_tool_cum"][-1])
+            chars = int(emitted_cols["chars_cum"][-1])
+            result += n_emit
+            yield _data_frame(conv_id, pd.DataFrame(emitted_cols, copy=False))
+
+        self.cursor.update(
+            (
+                int(last_emitted),
+                int(received),
+                int(result),
+                int(dups),
+                bool(last_event),
+                int(n_user),
+                int(n_assistant),
+                int(n_tool),
+                int(chars),
+                int(buf_count),
+                int(buf_min),
+                int(buf_max),
+            )
+        )
+
+        if cfg.emit_status_every_batch:
+            yield _status_frame(
+                conv_id,
+                {
+                    "last_emitted": int(last_emitted) if result else None,
+                    "buffered_count": int(buf_count),
+                    "earliest_buffered": int(buf_min) if buf_count else None,
+                    "latest_buffered": int(buf_max) if buf_count else None,
+                    "received_count": int(received),
+                    "result_count": int(result),
+                    "duplicate_count": int(dups),
+                    "last_event_received": bool(last_event),
+                },
+            )
+
+
+def _tuples(cols: dict) -> list[tuple]:
+    return list(
+        zip(
+            (int(x) for x in cols["turn_idx"]),
+            cols["role"].tolist(),
+            cols["text"].tolist(),
+            cols["tool"].tolist(),
+            (int(x) for x in cols["ts_us"]),
+        )
+    )
+
+
+def ordered_stream_tws(df: DataFrame, cfg: TwsConfig | None = None) -> DataFrame:
+    """Apply the transformWithStateInPandas ordered processor (requires the
+    RocksDB state store provider on the session)."""
+    return df.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=OrderedProcessor(cfg),
+        outputStructType=STREAM_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
