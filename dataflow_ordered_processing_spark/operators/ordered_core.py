@@ -53,7 +53,9 @@ def ts_to_us(s: pd.Series) -> pd.Series:
 
 def default_is_last(pdf: pd.DataFrame) -> np.ndarray:
     """lastContractMessage analog: sentinel final turn (FIXTURES.md §1)."""
-    return ((pdf["role"] == END_ROLE) & (pdf["text"] == END_TEXT)).to_numpy()
+    roles = pdf["role"].to_numpy(copy=False)
+    texts = pdf["text"].to_numpy(copy=False)
+    return (roles == END_ROLE) & (texts == END_TEXT)
 
 
 # Shared immutable empty buffer: constructing a 5-column empty DataFrame per
@@ -141,15 +143,23 @@ def apply_batch(
         # matching OrderedProcessingStatus.lastEventReceived semantics.
         if bool(is_last(batch).any()):
             state.last_event_received = True
+        # ts_us may be precomputed by the caller; derive it otherwise
+        # (avoids a full-DataFrame .assign copy in the streaming hot path)
+        batch_cols = {
+            c: batch[c].to_numpy(copy=False) for c in ("turn_idx", "role", "text", "tool")
+        }
+        batch_cols["ts_us"] = (
+            batch["ts_us"].to_numpy(copy=False)
+            if "ts_us" in batch.columns
+            else ts_to_us(batch["ts"]).to_numpy()
+        )
         if n_buf:
             cols = {
-                c: np.concatenate(
-                    [buf[c].to_numpy(copy=False), batch[c].to_numpy(copy=False)]
-                )
+                c: np.concatenate([buf[c].to_numpy(copy=False), batch_cols[c]])
                 for c in BUF_COLS
             }
         else:
-            cols = {c: batch[c].to_numpy(copy=False) for c in BUF_COLS}
+            cols = batch_cols
     else:
         cols = {c: buf[c].to_numpy(copy=False) for c in BUF_COLS}
 

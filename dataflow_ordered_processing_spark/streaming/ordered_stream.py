@@ -206,7 +206,6 @@ def make_ordered_func(cfg: OrderedStreamConfig):
 
         frames = list(pdfs)
         batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
-        batch = batch.assign(ts_us=core.ts_to_us(batch["ts"]))
         emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
         st.idle_heartbeats = 0  # arrival resets the idle-eviction clock
 

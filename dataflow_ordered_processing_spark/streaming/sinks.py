@@ -39,6 +39,15 @@ class SinkConfig:
     checkpoint: str | None = None
     iceberg_table: str | None = None  # e.g. "cat.db.ordered_turns" when jars present
     trigger_seconds: float | None = None  # None → availableNow semantics via caller
+    # Paranoid exactly-once (SURVEY §7 "MERGE path"): before writing, drop
+    # incoming data rows whose (conv_id, turn_idx) already exists in the
+    # sink — covers CROSS-epoch re-emission (e.g. post-completion duplicate
+    # re-delivery under cleanup_on_complete=True), which epoch idempotency
+    # alone cannot. Equivalent to Iceberg/Delta MERGE INTO ... WHEN NOT
+    # MATCHED THEN INSERT on the idempotency key. Costs one anti-join per
+    # epoch against the sink keys; leave off when the operator keeps
+    # tombstones (the default), which already guarantees key uniqueness.
+    merge_on_key: bool = False
 
 
 def _epoch_dir(base: str, epoch_id: int) -> str:
@@ -69,6 +78,17 @@ def split_sink(cfg: SinkConfig):
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         unified = batch_df.withColumn("ingest_ts", F.current_timestamp())
+        if cfg.merge_on_key and not cfg.iceberg_table and os.path.exists(cfg.data_path):
+            spark = batch_df.sparkSession
+            existing = read_sink(spark, cfg.data_path, table="data").select(
+                "conv_id", "turn_idx"
+            )
+            fresh_data = unified.filter(F.col("row_type") == "data").join(
+                existing, ["conv_id", "turn_idx"], "left_anti"
+            )
+            unified = fresh_data.unionByName(
+                unified.filter(F.col("row_type") != "data")
+            )
         try:
             if cfg.iceberg_table:
                 unified.writeTo(cfg.iceberg_table).append()

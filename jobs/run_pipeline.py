@@ -77,6 +77,14 @@ def main() -> int:
     )
     ap.add_argument("--master", default=None, help="override master (tests/bench only)")
     ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="pin the state/shuffle partition count (production streaming "
+        "keeps state shards FIXED while executor counts scale — required "
+        "for a fair N vs 4N comparison and for checkpoint compatibility)",
+    )
+    ap.add_argument(
         "--no-warmup",
         action="store_true",
         help="skip the python-worker warm-up pass (cold-start measurement)",
@@ -103,7 +111,9 @@ def main() -> int:
         split_sink,
     )
 
-    spark = get_spark("ordered-pipeline", master=args.master)
+    spark = get_spark(
+        "ordered-pipeline", master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
     spark.streams.addListener(
         BufferMetricsListener(os.path.join(args.out, "metrics.jsonl"))
     )

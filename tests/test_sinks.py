@@ -58,3 +58,37 @@ def test_export_formats(spark, tmp_path):
     # avro: jar not in this image → clear RuntimeError (gated, not a crash)
     with pytest.raises(RuntimeError, match="spark-avro"):
         export_table(df, str(tmp_path / "a"), "avro")
+
+
+def test_merge_on_key_prevents_cross_epoch_duplicates(spark, tmp_path):
+    # eager-cleanup mode re-emits on post-completion re-delivery; the
+    # merge_on_key sink keeps the data table unique on (conv_id, turn_idx)
+    import os
+
+    from dataflow_ordered_processing_spark.sources.scenarios import scenario
+    from dataflow_ordered_processing_spark.streaming import (
+        OrderedStreamConfig,
+        start_ordered_pipeline,
+    )
+    from streaming_utils import StagedStream
+
+    base = str(tmp_path)
+    sink = SinkConfig(
+        data_path=os.path.join(base, "data"),
+        checkpoint=os.path.join(base, "ckpt"),
+        merge_on_key=True,
+    )
+    st = StagedStream(spark, base)
+    q = start_ordered_pipeline(
+        st.source(), sink, OrderedStreamConfig(cleanup_on_complete=True)
+    )
+    try:
+        batches = scenario("duplicates")  # ends with re-delivery of turns 1,2
+        for b in batches:
+            st.push(b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    data = read_sink(spark, sink.data_path).toPandas()
+    assert len(data) == 3
+    assert not data.duplicated(subset=["conv_id", "turn_idx"]).any()

@@ -100,6 +100,8 @@ def run_leg(src: str, cpus: int, workdir: str) -> dict:
             "--available-now",
             "--max-files-per-trigger",
             "8",
+            "--shuffle-partitions",
+            "64",  # state shards stay FIXED as the cluster scales
             "--master",
             f"local[{cpus}]",
         ],
