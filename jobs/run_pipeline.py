@@ -77,6 +77,13 @@ def main() -> int:
     )
     ap.add_argument("--master", default=None, help="override master (tests/bench only)")
     ap.add_argument(
+        "--hdfs-state-store",
+        action="store_true",
+        help="use the default HDFS-backed (in-heap) state store instead of "
+        "RocksDB (RocksDB is the default: off-heap state avoids the "
+        "HDFS store's per-version in-heap maps and scales better)",
+    )
+    ap.add_argument(
         "--shuffle-partitions",
         type=int,
         default=None,
@@ -114,6 +121,11 @@ def main() -> int:
     spark = get_spark(
         "ordered-pipeline", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
+    if not args.hdfs_state_store:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     spark.streams.addListener(
         BufferMetricsListener(os.path.join(args.out, "metrics.jsonl"))
     )
