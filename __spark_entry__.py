@@ -554,9 +554,32 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_ORACLE,
         "quality_score": _QUALITY_ORACLE,
         "brute_force_topk": _TOPK_ORACLE,
-        # lsh_topk: driver rows-only check (hyperplane literals are not
-        # reproducible in pure SQL).
+        "lsh_topk": _lsh_topk_oracle(),
     }
+
+
+def _lsh_topk_oracle() -> str:
+    """The LSH hyperplanes are deterministic (seeded), so they embed as SQL
+    literals — making even the approximate-NN path exactly reproducible."""
+    from dataflow_ordered_processing_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4, 42)
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding, q.qv), 6) AS cos_sim
+      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
+                 AS rank
+      FROM s)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
 
 
 _DEPTH_ORACLE = _with_transcripts(
