@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the ordering state machine — any
+arrival permutation, any batching, any duplication/gap pattern must drain to
+exactly the serial oracle. The reference has no property tests
+(SURVEY.md §5); this goes beyond its example-based suite."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from dataflow_ordered_processing_spark.operators.ordered_core import (
+    OrderedState,
+    apply_batch,
+)
+
+T0 = datetime(2026, 1, 1)
+
+
+def _rows(turn_idxs):
+    return pd.DataFrame(
+        {
+            "turn_idx": pd.Series(turn_idxs, dtype="int64"),
+            "role": ["user"] * len(turn_idxs),
+            "text": [f"t{t}" for t in turn_idxs],
+            "tool": [None] * len(turn_idxs),
+            "ts_us": [int((T0 + timedelta(seconds=30 * t)).timestamp() * 1e6) for t in turn_idxs],
+        }
+    )
+
+
+@st.composite
+def arrival_plan(draw):
+    """A set of turns (with a possible gap), duplicated arbitrarily,
+    permuted, and split into arbitrary batches."""
+    n = draw(st.integers(min_value=1, max_value=60))
+    present = draw(
+        st.sets(st.integers(min_value=1, max_value=n), min_size=1, max_size=n)
+    )
+    dups = draw(
+        st.lists(st.sampled_from(sorted(present)), min_size=0, max_size=10)
+    )
+    seq = sorted(present) + dups
+    perm = draw(st.permutations(seq))
+    n_batches = draw(st.integers(min_value=1, max_value=6))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(perm)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(perm)]:
+        batches.append(perm[prev:c])
+        prev = c
+    return present, seq, batches
+
+
+@given(arrival_plan())
+@settings(max_examples=200, deadline=None)
+def test_any_arrival_plan_matches_serial_oracle(plan):
+    present, seq, batches = plan
+    st_ = OrderedState()
+    emitted = []
+    for b in batches:
+        out = apply_batch(st_, _rows(b))
+        emitted.extend(out["turn_idx"].tolist())
+
+    # oracle: maximal contiguous prefix of the present set, in order
+    expected = []
+    t = 1
+    while t in present:
+        expected.append(t)
+        t += 1
+    assert emitted == expected
+    # counters
+    assert st_.received_count == len(seq)
+    assert st_.result_count == len(expected)
+    assert st_.duplicate_count == len(seq) - len(present)
+    assert st_.buffered_count == len(present) - len(expected)
+    # buffer holds exactly the non-drained turns, sorted
+    assert st_.buffer["turn_idx"].tolist() == sorted(present - set(expected))
+    # emit_seq/depth invariants
+    if expected:
+        assert st_.last_emitted == expected[-1]
+        assert st_.n_user == len(expected)  # all rows are 'user' here
+        assert st_.chars == sum(len(f"t{t}") for t in expected)
+
+
+@given(arrival_plan(), st.integers(min_value=1, max_value=7))
+@settings(max_examples=100, deadline=None)
+def test_max_emit_never_changes_the_final_result(plan, cap):
+    present, seq, batches = plan
+    st_ = OrderedState()
+    emitted = []
+    for b in batches:
+        out = apply_batch(st_, _rows(b), max_emit=cap)
+        emitted.extend(out["turn_idx"].tolist())
+    # keep draining with empty batches until the capped runs flush
+    for _ in range(200):
+        out = apply_batch(st_, _rows([]), max_emit=cap)
+        if not len(out):
+            break
+        emitted.extend(out["turn_idx"].tolist())
+
+    expected = []
+    t = 1
+    while t in present:
+        expected.append(t)
+        t += 1
+    assert emitted == expected
+    assert st_.duplicate_count == len(seq) - len(present)
