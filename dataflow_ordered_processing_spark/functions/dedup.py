@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_last_band_cache = None  # bounded persist for the LSH self-join (see below)
+
+
 def _norm(col: str = "text"):
     return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
 
@@ -92,8 +95,18 @@ def minhash_lsh_pairs(
     )
     # self-join: without persist, BOTH sides recompute the whole
     # shingle→minhash pipeline; the persisted table is digests only
-    # (bands × 16-byte keys per doc), tiny relative to the corpus
+    # (bands × 16-byte keys per doc), tiny relative to the corpus.
+    # Only ONE cache is kept alive across calls (the previous call's cache
+    # is released here) so repeated invocations cannot accumulate pinned
+    # storage blocks.
+    global _last_band_cache
+    if _last_band_cache is not None:
+        try:
+            _last_band_cache.unpersist()
+        except Exception:
+            pass
     exploded = exploded.persist()
+    _last_band_cache = exploded
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (

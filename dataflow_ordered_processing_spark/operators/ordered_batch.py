@@ -50,7 +50,10 @@ def ordered_emit_batch(
     ``initial_idx``, in order, with a 1-based ``emit_seq``. Rows beyond a gap
     are withheld (they'd stay buffered in the streaming engine)."""
     if impl == "sql":
-        deduped = _dedupe(df)
+        # rows below the initial sequence are already-emitted history: the
+        # streaming core discards them as duplicates (seq <= last_emitted);
+        # they must not shift ranks here
+        deduped = _dedupe(df.filter(F.col("turn_idx").cast("long") >= initial_idx))
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
         wcum = w.rowsBetween(Window.unboundedPreceding, 0)
         emitted = (
@@ -83,6 +86,11 @@ def ordered_emit_batch(
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             st = core.OrderedState(last_emitted=initial_idx - 1)
+            # deterministic duplicate winner: the streaming core keeps the
+            # FIRST ARRIVAL; in batch mode partition order is not arrival
+            # order (nor deterministic), so sort by ts first — matching the
+            # SQL impl's first-by-ts rule
+            pdf = pdf.sort_values("ts", kind="stable")
             batch = pdf.assign(ts_us=core.ts_to_us(pdf["ts"]))
             out = core.apply_batch(st, batch)
             return pd.DataFrame(
@@ -112,7 +120,8 @@ def ordered_status_batch(df: DataFrame, initial_idx: int = core.INITIAL_TURN_IDX
     Matches what the streaming operator's last status row per key reports.
     """
     base = initial_idx - 1
-    deduped = _dedupe(df)
+    # sub-initial rows count as duplicates (computed from received - rest)
+    deduped = _dedupe(df.filter(F.col("turn_idx").cast("long") >= initial_idx))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     classified = deduped.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_emitted", F.col("turn_idx").cast("long") == F.col("_rn") + base

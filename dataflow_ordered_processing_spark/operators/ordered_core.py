@@ -209,9 +209,13 @@ def apply_batch(
         roles == "assistant"
     )
     emitted_cols["n_tool_cum"] = state.n_tool + np.cumsum(roles == "tool")
-    emitted_cols["chars_cum"] = state.chars + np.cumsum(
-        np.array([len(t) if t is not None else 0 for t in texts], dtype=np.int64)
-    )
+    # small drains: a python loop beats pandas overhead; large drains
+    # (mega-key gap closures): vectorized str.len
+    if n_emit <= 512:
+        lens = np.array([len(t) if t is not None else 0 for t in texts], dtype=np.int64)
+    else:
+        lens = pd.Series(texts).str.len().fillna(0).to_numpy(dtype=np.int64)
+    emitted_cols["chars_cum"] = state.chars + np.cumsum(lens)
     if n_emit:
         state.n_user = int(emitted_cols["n_user_cum"][-1])
         state.n_assistant = int(emitted_cols["n_assistant_cum"][-1])

@@ -36,6 +36,7 @@ def _per_key_prefix_len(df: DataFrame, block: int, initial_idx: int) -> DataFram
     """(conv_id, prefix_len): length of the maximal contiguous run starting
     at initial_idx, computed with only salted shuffles + tiny merges."""
     t = F.col("turn_idx").cast("long")
+    df = df.filter(t >= initial_idx)  # sub-initial rows are duplicates, not data
     blk = ((t - initial_idx) / block).cast("long")
 
     # Dedup + within-block slot rank in one exchange on (conv_id, _block):
@@ -99,7 +100,8 @@ def salted_ordered_emit_batch(
     prefix = _per_key_prefix_len(df, block, initial_idx)
     t = F.col("turn_idx").cast("long")
     released = (
-        df.join(F.broadcast(prefix), "conv_id")
+        df.filter(t >= initial_idx)
+        .join(F.broadcast(prefix), "conv_id")
         .filter(t < F.col("prefix_len") + initial_idx)
         .withColumn("emit_seq", t - initial_idx + 1)
     )

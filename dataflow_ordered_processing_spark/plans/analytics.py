@@ -62,8 +62,10 @@ def user_assistant_pairs(
     transcripts: DataFrame, horizon_minutes: int = 10
 ) -> DataFrame:
     """N5 (batch form): each user turn matched to the FIRST assistant turn of
-    the same conversation within `horizon_minutes` after it. The streaming
-    variant adds watermarks on both sides (streaming/windows.py)."""
+    the same conversation within `horizon_minutes` after it. NOTE: the
+    streaming join (streaming/windows.stream_user_assistant_join) emits ALL
+    matches (append-mode streams cannot rank-and-keep-first); this batch form
+    adds the first-match reduction on top."""
     users = transcripts.filter(F.col("role") == "user").select(
         "conv_id",
         F.col("turn_idx").alias("user_turn_idx"),

@@ -182,13 +182,20 @@ def make_ordered_func(cfg: OrderedStreamConfig):
         if state.hasTimedOut:
             st = _state_from_tuple(tuple(state.get))
             st.idle_heartbeats += 1
+            # a capped drain (max_emit_per_batch) may have left a CONTIGUOUS
+            # run in the buffer; the timer is the only guaranteed future
+            # invocation for an idle key, so drain here too — otherwise the
+            # remainder never reaches the sink
+            emitted = core.apply_batch(
+                st, st.buffer.head(0), max_emit=cfg.max_emit_per_batch
+            )
             status = core.status_dict(conv_id, st)
             del status["conv_id"]
             evict = (
                 cfg.evict_idle_after_heartbeats is not None
                 and st.idle_heartbeats >= cfg.evict_idle_after_heartbeats
             )
-            if evict:
+            if evict and not len(emitted):
                 # state TTL (SURVEY §7): gap never closed — drop pending
                 # turns, free the state; the emitted status is the tombstone
                 # record (gap_report picks it up downstream)
@@ -197,6 +204,8 @@ def make_ordered_func(cfg: OrderedStreamConfig):
                 state.update(_state_to_tuple(st))
                 if cfg.status_heartbeat_ms:
                     state.setTimeoutDuration(cfg.status_heartbeat_ms)
+            if len(emitted):
+                yield _data_frame(conv_id, emitted)
             yield _status_frame(conv_id, status)
             return
 

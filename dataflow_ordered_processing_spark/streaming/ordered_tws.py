@@ -16,9 +16,13 @@ I/O complexity:
 
 Divergence (documented): rows duplicated WITHIN the pending buffer are
 detected at drain time, not arrival time, so duplicate_count on interim
-status rows can lag the classic operator; final counts are identical (the
-reference declares in-buffer duplicate behavior unpredictable,
-docs/pipeline-design.md:115-122).
+status rows lags the classic operator and buffered_count is an UPPER BOUND
+under re-delivery; the counts converge when the gap closes. For a gap that
+NEVER closes, re-deliveries of buffered turns keep appending (the append-only
+path is exactly what makes this engine O(arrival) instead of O(state)) —
+bound that case with state_ttl_ms, which expires the whole key. The
+reference declares in-buffer duplicate behavior unpredictable
+(docs/pipeline-design.md:115-122).
 
 Requires the RocksDB state store provider:
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

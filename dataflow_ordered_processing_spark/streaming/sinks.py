@@ -33,8 +33,10 @@ from .ordered_stream import OrderedStreamConfig, ordered_stream
 
 @dataclass(frozen=True)
 class SinkConfig:
+    # data_path holds the UNIFIED epoch sink (data + status rows, row_type
+    # discriminator); read the status table back with
+    # read_sink(..., table="status")
     data_path: str
-    status_path: str | None = None
     dlq_path: str | None = None
     checkpoint: str | None = None
     iceberg_table: str | None = None  # e.g. "cat.db.ordered_turns" when jars present

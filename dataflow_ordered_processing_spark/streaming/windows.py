@@ -59,7 +59,14 @@ def stream_user_assistant_join(
 ) -> DataFrame:
     """N5: watermarked stream-stream interval join (SURVEY.md §2.8's added
     operator). Both sides carry watermarks; the time-range predicate bounds
-    how long user turns wait in join state."""
+    how long user turns wait in join state.
+
+    SEMANTICS NOTE: this emits EVERY assistant turn within the horizon (an
+    unbounded stream cannot rank-and-keep-first in append mode). The batch
+    form (plans.analytics.user_assistant_pairs) additionally selects the
+    FIRST match per user turn — apply the same first-match reduction
+    downstream of this join (e.g. in foreachBatch or a later batch job) when
+    that semantic is needed."""
     users = (
         transcripts.filter(F.col("role") == "user")
         .select(

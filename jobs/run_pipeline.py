@@ -136,7 +136,6 @@ def main() -> int:
     )
     sink = SinkConfig(
         data_path=os.path.join(args.out, "data"),
-        status_path=os.path.join(args.out, "status"),
         dlq_path=os.path.join(args.out, "dlq"),
         checkpoint=args.checkpoint,
     )

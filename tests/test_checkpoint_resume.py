@@ -23,7 +23,6 @@ def test_checkpoint_kill_and_resume(spark, tmp_path):
     base = str(tmp_path)
     sink = SinkConfig(
         data_path=os.path.join(base, "data"),
-        status_path=os.path.join(base, "status"),
         checkpoint=os.path.join(base, "ckpt"),
     )
     listener = BufferMetricsListener(os.path.join(base, "metrics.jsonl"))
