@@ -313,6 +313,12 @@ def _q_role_rollup(spark, sf_dir):
     )
 
 
+def _q_cosine_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs above a cosine threshold, LSH-blocked."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_near_dup(embs, threshold=0.35, n_planes=4)
+
+
 def _q_events_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.createOrReplaceTempView("events")
@@ -375,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "brute_force_topk": _q_brute_topk,
         "lsh_topk": _q_lsh_topk,
+        "cosine_near_dup": _q_cosine_near_dup,
     }
 
 
@@ -555,7 +562,25 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_ORACLE,
         "brute_force_topk": _TOPK_ORACLE,
         "lsh_topk": _lsh_topk_oracle(),
+        "cosine_near_dup": _cosine_near_dup_oracle(),
     }
+
+
+def _cosine_near_dup_oracle() -> str:
+    from dataflow_ordered_processing_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4, 42)
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round(list_cosine_similarity(l.embedding, r.embedding), 6) AS cos_sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding, r.embedding), 6) >= 0.35
+"""
 
 
 def _lsh_topk_oracle() -> str:

@@ -54,6 +54,20 @@ def stream_session_windows(
     )
 
 
+def stream_dedup_turns(
+    transcripts: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked streaming deduplication on the idempotency key
+    (conv_id, turn_idx) — an optional pre-ordering stage that sheds
+    re-deliveries before they reach the (more expensive) stateful ordering
+    operator. Dedup state is bounded by the watermark: a duplicate arriving
+    later than the watermark delay passes through, where the ordering
+    operator's own cursor still discards it (defense in depth)."""
+    return transcripts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def stream_user_assistant_join(
     transcripts: DataFrame, horizon_minutes: int = 10, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -177,3 +177,26 @@ def test_stream_session_windows(spark, tmp_path):
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_like=True)
     finally:
         q.stop()
+
+
+def test_stream_dedup_turns(spark, tmp_path):
+    from dataflow_ordered_processing_spark.streaming.windows import stream_dedup_turns
+
+    batches = scenario("duplicates")  # turns 1,2,3 then re-delivery of 1,2
+    st = StagedStream(spark, str(tmp_path))
+    q = (
+        stream_dedup_turns(st.source())
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        for b in batches:
+            st.push(b)
+            q.processAllAvailable()
+        got = spark.table("dedup_stream").toPandas()
+        assert len(got) == 3  # the 2 re-deliveries were shed
+        assert sorted(got["turn_idx"]) == [1, 2, 3]
+    finally:
+        q.stop()
