@@ -446,7 +446,8 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_tool_counts": _with_transcripts(
             """
             SELECT conv_id,
-                   to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS window_start,
+                   CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
+                        AS TIMESTAMP) AS window_start,
                    CAST(count(*) AS BIGINT) AS n_turns,
                    CAST(count(tool) AS BIGINT) AS n_tool_calls
             FROM transcripts GROUP BY 1, 2
@@ -455,8 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_turn_rate": _with_transcripts(
             """
             , slid AS (
-              SELECT to_timestamp(CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT))
-                         AS window_start
+              SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT))
+                          AS TIMESTAMP) AS window_start
               FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
             )
             SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
@@ -566,20 +567,40 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _duck_fold_dot(a: str, b: str) -> str:
+    """DuckDB dot product that is BIT-IDENTICAL to the Spark side's
+    F.aggregate(F.zip_with(a, b, x*y), 0.0d, acc+v): float32 element-wise
+    multiply, then a sequential left fold with a double accumulator.
+    (list_inner_product sums in float32 and differs in the ~7th decimal,
+    which flipped cosine_near_dup's hash in round 1.)"""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), s -> CAST(s[1] * s[2] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+
+
 def _cosine_near_dup_oracle() -> str:
     from dataflow_ordered_processing_spark.functions.similarity import hyperplanes
 
     planes = hyperplanes(64, 4, 42)
     bits = " + ".join(
-        f"(CASE WHEN list_inner_product(embedding, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        "(CASE WHEN "
+        + _duck_fold_dot("embedding", f"CAST({p} AS DOUBLE[])")
+        + f" >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
+    )
+    cos = (
+        f"round({_duck_fold_dot('l.embedding', 'r.embedding')} / "
+        f"(sqrt({_duck_fold_dot('l.embedding', 'l.embedding')}) * "
+        f"sqrt({_duck_fold_dot('r.embedding', 'r.embedding')})), 6)"
     )
     return f"""
 WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings)
 SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-       round(list_cosine_similarity(l.embedding, r.embedding), 6) AS cos_sim
+       {cos} AS cos_sim
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE round(list_cosine_similarity(l.embedding, r.embedding), 6) >= 0.35
+WHERE {cos} >= 0.35
 """
 
 
@@ -590,14 +611,20 @@ def _lsh_topk_oracle() -> str:
 
     planes = hyperplanes(64, 4, 42)
     bits = " + ".join(
-        f"(CASE WHEN list_inner_product(embedding, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        "(CASE WHEN "
+        + _duck_fold_dot("embedding", f"CAST({p} AS DOUBLE[])")
+        + f" >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
+    )
+    cos = (
+        f"round({_duck_fold_dot('e.embedding', 'q.qv')} / "
+        f"(sqrt({_duck_fold_dot('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_duck_fold_dot('q.qv', 'q.qv')})), 6)"
     )
     return f"""
 WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 3),
-s AS (SELECT q.query_id, e.vec_id,
-             round(list_cosine_similarity(e.embedding, q.qv), 6) AS cos_sim
+s AS (SELECT q.query_id, e.vec_id, {cos} AS cos_sim
       FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
 r AS (SELECT query_id, vec_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
@@ -682,8 +709,8 @@ v AS (SELECT doc_id,
   {', '.join(f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
 FROM h GROUP BY doc_id)
 SELECT d.doc_id,
-       coalesce({' + '.join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}, 0)
-           AS simhash
+       CAST(coalesce({' + '.join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}, 0)
+            AS BIGINT) AS simhash
 FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
 """
 

@@ -58,7 +58,12 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 "n_frames": 30 * (1 + i % 5) if kind == "video" else None,
             }
         )
-    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    # Conf-independent construction: pass the list of dicts straight to
+    # createDataFrame so nullable int columns never round-trip through a
+    # pandas float64 promotion (pd.DataFrame turns None-bearing int columns
+    # into float64, which IntegerType rejects unless Arrow coercion happens
+    # to be enabled in the session).
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:

@@ -56,7 +56,7 @@ def brute_force_topk(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("_rn").alias("rank"))
+        .select("query_id", "vec_id", "cos_sim", F.col("_rn").cast("long").alias("rank"))
     )
 
 
@@ -101,7 +101,7 @@ def lsh_topk(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("_rn").alias("rank"))
+        .select("query_id", "vec_id", "cos_sim", F.col("_rn").cast("long").alias("rank"))
     )
 
 

@@ -1,6 +1,17 @@
 """Emulate the driver's correctness gate: run every queries() entry on Spark
 and its oracle_sql() on DuckDB at the given sf dir; compare row count,
-column names, and order-insensitive values (sorted columns, rounded floats).
+column names, dtypes, and order-insensitive EXACT values.
+
+This must be AT LEAST as strict as the driver's schema+hash gate. Round 1
+shipped 3 red queries because this tool stripped timezones and compared
+floats with atol=1e-6 — strictly looser than the gate (VERDICT.md round 1).
+Rules now:
+  - timestamps: normalize unit to us, but KEEP tz-awareness — a tz-aware
+    oracle column vs a naive Spark column is a schema FAIL (exactly what
+    sank tumbling/sliding in round 1).
+  - floats: bit-exact compare, no atol. The oracle SQL must be algebraically
+    identical to the Spark plan (same fold order, same rounding point).
+  - dtypes: exact (int32 vs int64 is a FAIL — CAST in the oracle).
 
 Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
 """
@@ -17,7 +28,30 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from dataflow_ordered_processing_spark.session import get_spark  # noqa: E402
+from dataflow_ordered_processing_spark.session import package_zip  # noqa: E402
+
+
+def driver_like_spark():
+    """A session matching the DRIVER's, not get_spark(): in particular, NO
+    spark.sql.execution.arrow.pyspark.enabled — round 1's multimodal red
+    passed locally only because get_spark() enables Arrow type coercion."""
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -30,12 +64,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in out.columns:
         s = out[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            s = pd.to_datetime(s)
-            if getattr(s.dt, "tz", None) is not None:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            out[c] = s.astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            out[c] = s.round(6)
+            # unit-normalize only; tz-awareness is part of the schema and
+            # MUST survive so tz-aware vs naive fails the compare
+            tz = getattr(s.dt, "tz", None)
+            out[c] = s.astype(f"datetime64[us, {tz}]" if tz is not None else "datetime64[us]")
         elif s.dtype == object:
             out[c] = s.where(pd.notna(s), None)
     out = out[sorted(out.columns)]
@@ -46,7 +78,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check")
+    spark = driver_like_spark()
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -81,9 +113,13 @@ def main():
             status = f"COLUMN MISMATCH {list(g.columns)} vs {list(w.columns)}"
         elif len(g) != len(w):
             status = f"ROWCOUNT {len(g)} vs {len(w)}"
+        elif [str(t) for t in g.dtypes] != [str(t) for t in w.dtypes]:
+            status = (
+                f"DTYPE MISMATCH {[str(t) for t in g.dtypes]} vs {[str(t) for t in w.dtypes]}"
+            )
         else:
             try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, atol=1e-6)
+                pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
             except AssertionError as e:
                 status = "VALUES differ: " + str(e).splitlines()[-1][:200]
         tag = "ok   " if status == "ok" else "FAIL "
