@@ -25,6 +25,7 @@ from dataflow_ordered_processing_spark.functions import dedup, similarity, text
 from dataflow_ordered_processing_spark.operators.ordered_batch import (
     ordered_emit_batch,
     ordered_status_batch,
+    per_event_status_batch,
 )
 from dataflow_ordered_processing_spark.operators.skew import salted_ordered_emit_batch
 from dataflow_ordered_processing_spark.plans import analytics as A
@@ -98,6 +99,113 @@ SELECT agg.conv_id, last_emitted, buffered_count, earliest_buffered, latest_buff
 FROM agg JOIN recv ON agg.conv_id = recv.conv_id
 """
 )
+
+
+# Per-event status history (O8 batch analog): a deterministic per-key arrival
+# ORDER (md5-shuffled, reproducible in both engines) drives one ProcessingStatus
+# snapshot per arrival; latest_status_per_key is the reference's flagship
+# QUALIFY-RANK query over that history (README.md:89-114,
+# ProcessingStatusToTableRowConverter.java:27-43).
+_STATUS_HISTORY_CTE = """
+, arr2 AS (
+  SELECT * , 0 AS copy FROM damaged
+  UNION ALL
+  SELECT *, 1 AS copy FROM damaged WHERE turn_idx <= 2
+), seqd AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY
+              md5(concat(conv_id, ':', CAST(turn_idx AS VARCHAR), ':',
+                         CAST(copy AS VARCHAR), ':arr'))) AS BIGINT) AS s
+  FROM arr2
+), ev AS (
+  SELECT *,
+         CASE WHEN row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY s) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM seqd
+), fa AS (
+  SELECT conv_id, turn_idx, s,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         max(s) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS rmax
+  FROM ev WHERE is_dup = 0
+), validf AS (
+  SELECT conv_id, turn_idx, rmax,
+         lead(rmax) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM fa WHERE rn = turn_idx
+), compl AS (
+  SELECT conv_id, rmax AS s, CAST(turn_idx AS BIGINT) AS emitted_to
+  FROM validf WHERE nxt IS NULL OR nxt <> rmax
+), hist AS (
+  SELECT e.*, c.emitted_to
+  FROM ev e LEFT JOIN compl c ON e.conv_id = c.conv_id AND e.s = c.s
+), cumm AS (
+  SELECT conv_id, s AS arrival_seq, ts AS status_ts, turn_idx,
+         s AS received_count,
+         CAST(sum(is_dup) OVER cum AS BIGINT) AS duplicate_count,
+         coalesce(max(emitted_to) OVER cum, 0) AS last_emitted,
+         CAST(max(turn_idx) OVER cum AS BIGINT) AS max_turn,
+         max(CASE WHEN role = 'system' AND text = '__end__' THEN 1 ELSE 0 END)
+             OVER cum AS end_cum
+  FROM hist
+  WINDOW cum AS (PARTITION BY conv_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+), statuses AS (
+  SELECT conv_id, arrival_seq, status_ts, turn_idx, received_count, duplicate_count,
+         last_emitted, last_emitted AS result_count,
+         received_count - duplicate_count - last_emitted AS buffered_count,
+         CASE WHEN max_turn > last_emitted THEN max_turn END AS latest_buffered,
+         CAST(end_cum AS BOOLEAN) AS last_event_received
+  FROM cumm
+)
+"""
+
+_STATUS_HISTORY_ORACLE = _with_transcripts(_STATUS_HISTORY_CTE + "\nSELECT * FROM statuses")
+
+_LATEST_STATUS_ORACLE = _with_transcripts(
+    _STATUS_HISTORY_CTE
+    + """
+SELECT conv_id, arrival_seq, status_ts, turn_idx, received_count, duplicate_count,
+       last_emitted, result_count, buffered_count, latest_buffered, last_event_received
+FROM (SELECT *, rank() OVER (PARTITION BY conv_id ORDER BY arrival_seq DESC) AS rk
+      FROM statuses)
+WHERE rk = 1
+"""
+)
+
+
+def _arrival_seq_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival stream with a deterministic per-key arrival ORDER: seq =
+    row_number over an md5-shuffled key, reproducible identically in DuckDB."""
+    from pyspark.sql import Window
+
+    t = derive_transcripts(spark, sf_dir)
+    damaged = t.filter(F.expr(_DAMAGE))
+    arr = damaged.withColumn("copy", F.lit(0)).unionAll(
+        damaged.filter(F.col("turn_idx") <= 2).withColumn("copy", F.lit(1))
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("copy").cast("string"),
+            F.lit("arr"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(key)
+    return arr.withColumn("arrival_seq", F.row_number().over(w).cast("long")).drop("copy")
+
+
+def _q_status_history(spark, sf_dir):
+    return per_event_status_batch(_arrival_seq_df(spark, sf_dir))
+
+
+def _q_latest_status_per_key(spark, sf_dir):
+    """Reference flagship: latest ProcessingStatus per key via QUALIFY RANK
+    over the status history (README.md:89-114)."""
+    from pyspark.sql import Window
+
+    hist = per_event_status_batch(_arrival_seq_df(spark, sf_dir))
+    w = Window.partitionBy("conv_id").orderBy(F.desc("arrival_seq"))
+    return hist.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
 
 
 # ------------------------------------------------------------------- queries
@@ -382,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brute_force_topk": _q_brute_topk,
         "lsh_topk": _q_lsh_topk,
         "cosine_near_dup": _q_cosine_near_dup,
+        "status_history": _q_status_history,
+        "latest_status_per_key": _q_latest_status_per_key,
     }
 
 
@@ -564,6 +674,8 @@ def oracle_sql() -> dict[str, str]:
         "brute_force_topk": _TOPK_ORACLE,
         "lsh_topk": _lsh_topk_oracle(),
         "cosine_near_dup": _cosine_near_dup_oracle(),
+        "status_history": _STATUS_HISTORY_ORACLE,
+        "latest_status_per_key": _LATEST_STATUS_ORACLE,
     }
 
 

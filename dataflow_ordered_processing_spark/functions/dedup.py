@@ -144,31 +144,42 @@ def ngram_jaccard(
 
 def simhash(df: DataFrame, col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash over word tokens: bit j of the fingerprint = majority vote of
-    bit j across md5-derived token hashes. `bits` kept small (16) so the
-    majority vote stays a plain integer expression tree.
+    bit j across md5-derived token hashes (conv(substr(md5(tok),1,8),16,10)).
 
-    Uses conv(substr(md5(token),1,8),16,10) → 32-bit int per token — the
-    top `bits` bits feed the vote. Pure SQL; exact DuckDB oracle exists."""
+    Plan: explode tokens ONCE → hash each token ONCE → `bits` conditional
+    sums in a single groupBy. The round-1 version ran `bits` separate
+    F.aggregate higher-order folds, and Catalyst re-inlines the hash
+    expression under each fold — md5 evaluated `bits`× per token (the same
+    trap documented for MinHash above). The explode shape evaluates md5 once
+    per token AND gets map-side partial aggregation: what shuffles is one
+    row of `bits` small ints per doc, not tokens. Docs with no tokens get
+    simhash=0 via the left join (matches the oracle's LEFT JOIN+coalesce).
+    Pure SQL; exact DuckDB oracle exists."""
     words = F.filter(
         F.array_distinct(F.split(F.trim(_norm(col)), " ")), lambda w: F.length(w) > 0
     )
-    tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
-
-    def _vote(j: int):
-        # NB: the merge lambda must be strictly binary — a `j=j` default
-        # parameter would make pyspark bind it as a third lambda variable.
-        def merge(acc, w):
-            bit_set = F.shiftright(tok_hash(w), j).bitwiseAND(F.lit(1)) == 1
-            return acc + F.when(bit_set, 1).otherwise(-1)
-
-        return F.aggregate(words, F.lit(0).cast("long"), merge)
-
-    votes = [_vote(j) for j in range(bits)]
+    ex = df.select("doc_id", F.explode(words).alias("w")).select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv")
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
     fp = None
-    for j, v in enumerate(votes):
-        bit = F.when(v > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = bit if fp is None else fp + bit
-    return df.select("doc_id", fp.alias("simhash"))
+    return (
+        df.select("doc_id")
+        .join(votes, "doc_id", "left")
+        .select("doc_id", F.coalesce(fp, F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def dedup_keep_first(df: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -113,6 +113,95 @@ def ordered_emit_batch(
     raise ValueError(f"unknown impl {impl!r}")
 
 
+def per_event_status_batch(
+    df: DataFrame, seq_col: str = "arrival_seq", initial_idx: int = core.INITIAL_TURN_IDX
+) -> DataFrame:
+    """Per-ARRIVAL OrderedProcessingStatus history: one status row per input
+    event, reflecting state right after that event was processed — the batch
+    analog of the streaming operator's per-event status emission (O8;
+    reference emits a ProcessingStatus per processed event,
+    OrderedEventProcessor status output / ProcessingStatusToTableRowConverter).
+
+    Input must carry a deterministic per-key arrival order in ``seq_col``
+    (1-based, dense). Output: (conv_id, arrival_seq, status_ts, turn_idx,
+    received_count, duplicate_count, last_emitted, result_count,
+    buffered_count, latest_buffered, last_event_received).
+
+    Plan shape: every window below partitions by conv_id, so the whole
+    history is ONE hash exchange on conv_id plus in-partition sorts; the only
+    extra shuffle is the completion-event self-join on (conv_id, seq) —
+    completions are ≤ one row per distinct turn, far smaller than arrivals.
+    `earliest_buffered` is intentionally omitted: the earliest pending turn
+    after each arrival is not expressible as a running aggregate (emission
+    removes from the bottom of the buffer); the final-status operator
+    (ordered_status_batch) reports it exactly.
+    """
+    base = initial_idx - 1
+    seq = F.col(seq_col).cast("long")
+    warr = Window.partitionBy("conv_id").orderBy(seq_col)
+    wcum = warr.rowsBetween(Window.unboundedPreceding, 0)
+    wturn = Window.partitionBy("conv_id").orderBy("turn_idx")
+
+    # duplicate = re-delivery of an already-seen turn, or a sub-initial turn
+    # (the streaming core discards seq <= last_emitted as duplicates)
+    ev = df.withColumn(
+        "_occ", F.row_number().over(Window.partitionBy("conv_id", "turn_idx").orderBy(seq_col))
+    ).withColumn(
+        "_is_dup",
+        ((F.col("_occ") > 1) | (F.col("turn_idx").cast("long") < initial_idx)).cast("int"),
+    )
+
+    # first arrivals, classified into the contiguous prefix; rmax = the
+    # arrival seq at which turn t becomes emittable (all of 1..t have arrived)
+    fa = (
+        ev.filter(F.col("_is_dup") == 0)
+        .withColumn("_rn", F.row_number().over(wturn))
+        .withColumn("_rmax", F.max(seq).over(wturn.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(F.col("turn_idx").cast("long") == F.col("_rn") + base)
+    )
+    # completion events: the largest prefix-complete turn per completing
+    # arrival (consecutive valid turns can share one completing arrival)
+    compl = (
+        fa.withColumn("_nxt", F.lead("_rmax").over(wturn))
+        .filter(F.col("_nxt").isNull() | (F.col("_nxt") != F.col("_rmax")))
+        .select(
+            F.col("conv_id").alias("_c_conv"),
+            F.col("_rmax").alias("_c_seq"),
+            F.col("turn_idx").cast("long").alias("_emitted_to"),
+        )
+    )
+    hist = ev.join(
+        compl,
+        (F.col("conv_id") == F.col("_c_conv")) & (seq == F.col("_c_seq")),
+        "left",
+    ).drop("_c_conv", "_c_seq")
+
+    end_marker = ((F.col("role") == core.END_ROLE) & (F.col("text") == core.END_TEXT)).cast(
+        "int"
+    )
+    out = (
+        hist.withColumn("_last_emitted", F.coalesce(F.max("_emitted_to").over(wcum), F.lit(base).cast("long")))
+        .withColumn("_dup_cum", F.sum("_is_dup").over(wcum).cast("long"))
+        .withColumn("_max_turn", F.max(F.col("turn_idx").cast("long")).over(wcum))
+        .withColumn("_end_cum", F.max(end_marker).over(wcum))
+    )
+    return out.select(
+        "conv_id",
+        seq.alias("arrival_seq"),
+        F.col("ts").alias("status_ts"),
+        "turn_idx",
+        seq.alias("received_count"),
+        F.col("_dup_cum").alias("duplicate_count"),
+        F.col("_last_emitted").alias("last_emitted"),
+        (F.col("_last_emitted") - base).alias("result_count"),
+        (seq - F.col("_dup_cum") - (F.col("_last_emitted") - base)).alias("buffered_count"),
+        F.when(F.col("_max_turn") > F.col("_last_emitted"), F.col("_max_turn")).alias(
+            "latest_buffered"
+        ),
+        (F.col("_end_cum") == 1).alias("last_event_received"),
+    )
+
+
 def ordered_status_batch(df: DataFrame, initial_idx: int = core.INITIAL_TURN_IDX) -> DataFrame:
     """Final OrderedProcessingStatus per key after the whole bounded input —
     pure Catalyst (aggregates over the dedupe/prefix classification).

@@ -103,3 +103,97 @@ def test_shuffled_arrival_is_permutation(spark, sf_dir):
     shuffled = shuffled_arrival(t)
     assert shuffled.count() == t.count()
     assert ordered_emit_batch(shuffled, impl="sql").count() == t.count()
+
+
+# ---------------------------------------------------------------- O8 history
+def _arrival_with_seq(spark, conv, order):
+    """Build an arrival DataFrame for `conv` delivering turn_idx values in
+    the given order (duplicates allowed), with arrival_seq = position."""
+    from dataflow_ordered_processing_spark.sources.scenarios import conversation
+    from pyspark.sql import types as T
+
+    base = conversation(conv, max(order)).set_index("turn_idx", drop=False)
+    rows = []
+    for i, t in enumerate(order, start=1):
+        r = base.loc[t].to_dict()
+        r["ts"] = pd.Timestamp(r["ts"]).to_pydatetime()
+        r["turn_idx"] = int(r["turn_idx"])
+        r["arrival_seq"] = i
+        rows.append(r)
+    schema = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields) + [T.StructField("arrival_seq", T.LongType(), False)]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_per_event_status_snapshots(spark):
+    from dataflow_ordered_processing_spark.operators.ordered_batch import (
+        per_event_status_batch,
+    )
+
+    # arrivals: 2 (buffer), 1 (emit 1-2), 4 (buffer; 4 is the end sentinel —
+    # last_event_received flips on ARRIVAL, before it can emit), 2 (dup),
+    # 3 (emit 3-4)
+    df = _arrival_with_seq(spark, 7, [2, 1, 4, 2, 3])
+    got = (
+        per_event_status_batch(df)
+        .orderBy("arrival_seq")
+        .select(
+            "arrival_seq",
+            "received_count",
+            "duplicate_count",
+            "last_emitted",
+            "result_count",
+            "buffered_count",
+            "latest_buffered",
+            "last_event_received",
+        )
+        .collect()
+    )
+    want = [
+        # seq, recv, dup, last, res, buf, latest_buf, end
+        (1, 1, 0, 0, 0, 1, 2, False),
+        (2, 2, 0, 2, 2, 0, None, False),
+        (3, 3, 0, 2, 2, 1, 4, True),
+        (4, 4, 1, 2, 2, 1, 4, True),
+        (5, 5, 1, 4, 4, 0, None, True),
+    ]
+    assert [tuple(r) for r in got] == want
+
+
+def test_per_event_status_final_matches_ordered_status(spark):
+    """The last history row per key must agree with the final-status
+    operator on every shared field (internal consistency of O8 vs O4)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from dataflow_ordered_processing_spark.operators.ordered_batch import (
+        per_event_status_batch,
+    )
+
+    df = _arrival_with_seq(spark, 3, [5, 2, 1, 1, 7, 6, 2])
+    hist = per_event_status_batch(df)
+    w = Window.partitionBy("conv_id").orderBy(F.desc("arrival_seq"))
+    last = (
+        hist.withColumn("rk", F.rank().over(w)).filter("rk = 1").collect()[0].asDict()
+    )
+    final = ordered_status_batch(df.drop("arrival_seq")).collect()[0].asDict()
+    for k in [
+        "conv_id",
+        "received_count",
+        "duplicate_count",
+        "last_emitted",
+        "result_count",
+        "buffered_count",
+        "latest_buffered",
+        "last_event_received",
+    ]:
+        assert last[k] == final[k], k
+
+
+def test_per_event_status_empty(spark):
+    from dataflow_ordered_processing_spark.operators.ordered_batch import (
+        per_event_status_batch,
+    )
+
+    empty = _arrival_with_seq(spark, 1, [1]).limit(0)
+    assert per_event_status_batch(empty).count() == 0
