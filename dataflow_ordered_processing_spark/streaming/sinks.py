@@ -41,6 +41,13 @@ class SinkConfig:
     checkpoint: str | None = None
     iceberg_table: str | None = None  # e.g. "cat.db.ordered_turns" when jars present
     trigger_seconds: float | None = None  # None → availableNow semantics via caller
+    # Row-level dead-letter (FailedBigQueryInsertProcessor.java:38-49 is
+    # per-failed-insert, not per-batch): rows violating the sink contract
+    # are diverted to the DLQ with a dlq_error reason; the healthy rest of
+    # the batch still lands. None disables validation (whole-epoch divert
+    # on writer error remains as the outer fallback).
+    validate: bool = True
+    max_text_bytes: int | None = None  # optional size constraint on data rows
     # Paranoid exactly-once (SURVEY §7 "MERGE path"): before writing, drop
     # incoming data rows whose (conv_id, turn_idx) already exists in the
     # sink — covers CROSS-epoch re-emission (e.g. post-completion duplicate
@@ -50,6 +57,33 @@ class SinkConfig:
     # epoch against the sink keys; leave off when the operator keeps
     # tombstones (the default), which already guarantees key uniqueness.
     merge_on_key: bool = False
+
+
+def row_violation(cfg: SinkConfig) -> F.Column:
+    """First violated sink constraint per row (NULL = row is clean) — the
+    row-level analog of a failed BigQuery insert. Pure codegen CASE WHEN; no
+    Python in the validation path."""
+    checks: list[tuple[str, F.Column]] = [
+        ("null_key", F.col("conv_id").isNull()),
+        ("bad_row_type", ~F.col("row_type").isin("data", "status")),
+        (
+            "bad_turn_idx",
+            (F.col("row_type") == "data")
+            & (F.col("turn_idx").isNull() | (F.col("turn_idx") < 1)),
+        ),
+    ]
+    if cfg.max_text_bytes is not None:
+        checks.append(
+            (
+                "oversize_text",
+                (F.col("row_type") == "data")
+                & (F.octet_length(F.col("text")) > cfg.max_text_bytes),
+            )
+        )
+    err = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        err = F.when(cond, F.lit(name)).otherwise(err)
+    return err
 
 
 def _epoch_dir(base: str, epoch_id: int) -> str:
@@ -80,6 +114,16 @@ def split_sink(cfg: SinkConfig):
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         unified = batch_df.withColumn("ingest_ts", F.current_timestamp())
+        persisted = None
+        if cfg.validate and cfg.dlq_path and "row_type" in batch_df.columns:
+            # Row-level DLQ: divert only the violating rows, keep the rest.
+            # The micro-batch is persisted so the stateful operator's output
+            # is computed once even though two writes consume it.
+            persisted = unified.withColumn("dlq_error", row_violation(cfg)).persist()
+            bad = persisted.filter(F.col("dlq_error").isNotNull())
+            if not bad.isEmpty():
+                _write_idempotent(bad, cfg.dlq_path, epoch_id)
+            unified = persisted.filter(F.col("dlq_error").isNull()).drop("dlq_error")
         if cfg.merge_on_key and not cfg.iceberg_table and os.path.exists(cfg.data_path):
             spark = batch_df.sparkSession
             existing = read_sink(spark, cfg.data_path, table="data").select(
@@ -97,9 +141,20 @@ def split_sink(cfg: SinkConfig):
             else:
                 _write_idempotent(unified, cfg.data_path, epoch_id)
         except Exception:
+            # outer fallback: a writer-level failure (not attributable to
+            # specific rows) quarantines the remaining epoch under its own
+            # namespace so it can never collide with a row-level DLQ write
+            # for the same epoch
             if cfg.dlq_path:
-                _write_idempotent(unified, cfg.dlq_path, epoch_id)
+                _write_idempotent(
+                    unified.withColumn("dlq_error", F.lit("writer_error")),
+                    os.path.join(cfg.dlq_path, "writer_error"),
+                    epoch_id,
+                )
             raise
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     return write_batch
 

@@ -68,6 +68,70 @@ def stream_dedup_turns(
     )
 
 
+def first_match_reduce(matches: DataFrame) -> DataFrame:
+    """Reduce join matches to the FIRST assistant response per user turn:
+    min (assistant_ts, assistant_turn_idx) per (conv_id, user_turn_idx).
+    Associative + commutative, so it can run per-micro-batch AND again at
+    read time with the same result — the parquet MERGE emulation below
+    relies on exactly that."""
+    return (
+        matches.groupBy("conv_id", "user_turn_idx")
+        .agg(F.min(F.struct("assistant_ts", "assistant_turn_idx", "user_ts")).alias("m"))
+        .select(
+            "conv_id",
+            "user_turn_idx",
+            F.col("m.assistant_turn_idx").alias("assistant_turn_idx"),
+            F.col("m.user_ts").alias("user_ts"),
+            F.col("m.assistant_ts").alias("assistant_ts"),
+        )
+    )
+
+
+def first_match_merge_sink(path: str):
+    """foreachBatch MERGE keeping the min assistant response per user turn
+    (VERDICT round 1 #8): each epoch lands its LOCAL first-match reduction
+    idempotently (epoch-named dir, replay = no-op); the global table is the
+    read-time min over epochs (read_first_match). Because min is associative,
+    stream output == batch user_assistant_pairs regardless of how arrivals
+    were split into micro-batches."""
+    from .sinks import _write_idempotent
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        _write_idempotent(first_match_reduce(batch_df), path, epoch_id)
+
+    return write
+
+
+def read_first_match(spark, path: str) -> DataFrame:
+    """Global first-match table from the epoch-merged sink."""
+    import os
+
+    df = spark.read.option("basePath", path).parquet(os.path.join(path, "epoch=*")).drop(
+        "epoch"
+    )
+    return first_match_reduce(df)
+
+
+def start_first_match_join_pipeline(
+    source: DataFrame,
+    path: str,
+    checkpoint: str,
+    horizon_minutes: int = 10,
+    watermark: str = "10 minutes",
+):
+    """Wire source → interval join → first-match MERGE sink; returns the
+    running query. This is the streaming counterpart of
+    plans.analytics.user_assistant_pairs with IDENTICAL output rows."""
+    joined = stream_user_assistant_join(source, horizon_minutes, watermark)
+    return (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(first_match_merge_sink(path))
+        .option("checkpointLocation", checkpoint)
+        .queryName("first-match-join")
+        .start()
+    )
+
+
 def stream_user_assistant_join(
     transcripts: DataFrame, horizon_minutes: int = 10, watermark: str = "10 minutes"
 ) -> DataFrame:

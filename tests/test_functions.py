@@ -144,7 +144,12 @@ def test_multimodal_features(spark):
     media = multimodal.synth_media(spark, n=32)
     feats = multimodal.extract_features(media).toPandas()
     assert len(feats) == 32
-    assert feats["feat_mean"].between(0, 255).all()
+    vis = feats["kind"] != "audio"
+    assert feats.loc[vis, "feat_mean"].between(0, 255).all()
+    # audio is REALLY decoded: a pure sine has mean ~0 and rms ~amp/sqrt(2)
+    aud = feats[feats["kind"] == "audio"]
+    assert aud["feat_mean"].abs().max() < 1e-3
+    assert ((aud["feat_rms"] - 0.5 / np.sqrt(2)).abs() < 1e-3).all()
     assert (feats.loc[feats["kind"] == "video", "n_sampled_frames"] >= 1).all()
     # deterministic across runs
     feats2 = multimodal.extract_features(media).toPandas()
@@ -157,3 +162,26 @@ def test_multimodal_features(spark):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", 4, 4, fake=False)
+
+
+def test_wav_roundtrip_exact():
+    # encode -> decode is bit-exact for int16 PCM
+    samples = (np.sin(np.linspace(0, 20, 777)) * 20000).astype("<i2")
+    payload = multimodal.encode_wav(samples, rate=8000)
+    x, rate = multimodal.decode_audio(payload)
+    assert rate == 8000
+    np.testing.assert_array_equal((x * 32768.0).astype("<i2"), samples)
+
+
+def test_decode_audio_rejects_non_pcm16():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(buf.getvalue())

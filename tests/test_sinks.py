@@ -42,9 +42,33 @@ def test_dlq_on_sink_failure(spark, tmp_path):
     writer = split_sink(cfg)
     with pytest.raises(Exception):
         writer(batch, 0)
-    dlq = spark.read.parquet(str(tmp_path / "dlq" / "epoch=0"))
+    dlq = spark.read.parquet(str(tmp_path / "dlq" / "writer_error" / "epoch=0"))
     assert dlq.count() == 3  # failed batch landed in the dead-letter table
     assert "ingest_ts" in dlq.columns
+    assert dlq.filter("dlq_error = 'writer_error'").count() == 3
+
+
+def test_row_level_dlq_quarantines_only_poison_rows(spark, tmp_path):
+    """One bad row in a batch → exactly 1 DLQ row; the other N-1 rows land
+    in the sink (reference: per-row failed-insert capture,
+    FailedBigQueryInsertProcessor.java:38-49)."""
+    rows = [
+        ("c1", 1, "data", "hello"),
+        ("c1", 0, "data", "poison: turn_idx < 1"),
+        ("c1", 2, "data", "world"),
+        (None, 3, "data", "poison: null key"),
+        ("c1", None, "status", None),
+    ]
+    batch = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, row_type string, text string"
+    )
+    cfg = SinkConfig(data_path=str(tmp_path / "data"), dlq_path=str(tmp_path / "dlq"))
+    split_sink(cfg)(batch, 5)
+    dlq = spark.read.parquet(str(tmp_path / "dlq" / "epoch=5")).toPandas()
+    assert sorted(dlq["dlq_error"]) == ["bad_turn_idx", "null_key"]
+    sunk = spark.read.parquet(str(tmp_path / "data" / "epoch=5"))
+    assert sunk.count() == 3
+    assert "dlq_error" not in sunk.columns
 
 
 def test_export_formats(spark, tmp_path):
@@ -92,3 +116,43 @@ def test_merge_on_key_prevents_cross_epoch_duplicates(spark, tmp_path):
     data = read_sink(spark, sink.data_path).toPandas()
     assert len(data) == 3
     assert not data.duplicated(subset=["conv_id", "turn_idx"]).any()
+
+
+def test_iceberg_sink_contract(spark, tmp_path, monkeypatch):
+    """Iceberg exactly-once path contract test. The iceberg-spark-runtime
+    jar is NOT in this sandbox image and the sandbox has no network (maven
+    central DNS fails — attempted 2026-08-16), so the real catalog cannot be
+    exercised; this asserts the writeTo(...).append() plumbing: with
+    iceberg_table set the sink must append the unified batch (with ingest_ts)
+    to exactly that table and must NOT write the parquet epoch fallback.
+    Reference: BigQuery Storage Write API exactly-once commit,
+    OrderBookProcessingPipeline.java:131-147."""
+    calls = []
+
+    class _StubWriter:
+        def __init__(self, df, table):
+            self._df = df
+            self._table = table
+
+        def append(self):
+            calls.append((self._table, self._df.columns, self._df.count()))
+
+    batch = spark.createDataFrame(
+        [("c1", 1, "data", "x")], "conv_id string, turn_idx int, row_type string, text string"
+    )
+    # patch the RUNTIME class (pyspark 4's classic DataFrame subclass
+    # overrides writeTo, so patching the pyspark.sql.DataFrame base is inert)
+    monkeypatch.setattr(
+        type(batch), "writeTo", lambda self, t: _StubWriter(self, t), raising=True
+    )
+    cfg = SinkConfig(
+        data_path=str(tmp_path / "data"),
+        dlq_path=str(tmp_path / "dlq"),
+        iceberg_table="local.db.ordered_turns",
+    )
+    split_sink(cfg)(batch, 3)
+    assert len(calls) == 1
+    table, cols, n = calls[0]
+    assert table == "local.db.ordered_turns"
+    assert "ingest_ts" in cols and n == 1
+    assert not os.path.exists(str(tmp_path / "data"))  # no parquet fallback ran
