@@ -159,14 +159,29 @@ def split_sink(cfg: SinkConfig):
     return write_batch
 
 
+def epoch_dirs(base: str) -> list[str]:
+    """Committed epoch directories under an epoch sink, in epoch order.
+    Enumerated explicitly rather than passing an `epoch=*` glob to
+    spark.read: Spark probes the literal glob string for streaming-sink
+    metadata and logs a WARN with a full Java stack each time
+    (FileStreamSink.hasMetadata) — harmless but it makes clean runs look
+    failed in bench logs."""
+    if not os.path.isdir(base):
+        return []
+    out = [
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(base, d))
+    ]
+    return sorted(out, key=lambda p: int(p.rsplit("=", 1)[1]))
+
+
 def read_sink(spark: SparkSession, base: str, table: str = "data") -> DataFrame:
     """Read the data or status table back from the unified epoch sink.
     row_type filter + column pruning push down to the parquet scan."""
     from .ordered_stream import _DATA_COLS, _STATUS_COLS
 
-    unified = spark.read.option("basePath", base).parquet(
-        os.path.join(base, "epoch=*")
-    ).drop("epoch")
+    unified = spark.read.option("basePath", base).parquet(*epoch_dirs(base)).drop("epoch")
     if table == "unified":
         return unified
     if table == "data":

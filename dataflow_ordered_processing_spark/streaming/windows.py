@@ -104,11 +104,9 @@ def first_match_merge_sink(path: str):
 
 def read_first_match(spark, path: str) -> DataFrame:
     """Global first-match table from the epoch-merged sink."""
-    import os
+    from .sinks import epoch_dirs
 
-    df = spark.read.option("basePath", path).parquet(os.path.join(path, "epoch=*")).drop(
-        "epoch"
-    )
+    df = spark.read.option("basePath", path).parquet(*epoch_dirs(path)).drop("epoch")
     return first_match_reduce(df)
 
 
