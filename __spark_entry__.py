@@ -350,6 +350,11 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash(docs)
 
 
+def _q_redact_pii(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.redact_pii(docs)
+
+
 def _q_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.lang_id(docs)
@@ -379,6 +384,14 @@ def _q_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     return similarity.lsh_topk(embs, queries, k=5, n_planes=4)
+
+
+def _q_ivf_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2)
 
 
 def _q_trailing_avg(spark, sf_dir):
@@ -484,11 +497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "simhash": _q_simhash,
         "token_count": _q_token_count,
+        "redact_pii": _q_redact_pii,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
         "brute_force_topk": _q_brute_topk,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "cosine_near_dup": _q_cosine_near_dup,
         "status_history": _q_status_history,
         "latest_status_per_key": _q_latest_status_per_key,
@@ -661,10 +676,13 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                        AS BIGINT) AS n_bpe_regex,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
                    CAST(length(text) AS INT) AS n_chars_measured
             FROM documents
         """,
+        "redact_pii": _redact_pii_oracle(),
         "minhash_lsh_pairs": _MINHASH_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "simhash": _SIMHASH_ORACLE,
@@ -673,10 +691,29 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_ORACLE,
         "brute_force_topk": _TOPK_ORACLE,
         "lsh_topk": _lsh_topk_oracle(),
+        "ivf_topk": _ivf_topk_oracle(),
         "cosine_near_dup": _cosine_near_dup_oracle(),
         "status_history": _STATUS_HISTORY_ORACLE,
         "latest_status_per_key": _LATEST_STATUS_ORACLE,
     }
+
+
+def _redact_pii_oracle() -> str:
+    """Same PII pattern list as the Spark side (single source of truth).
+    DuckDB needs the 'g' flag for replace-all (Spark replaces all by
+    default); patterns are dialect-portable (no lookaheads)."""
+    from dataflow_ordered_processing_spark.functions.text import PII_PATTERNS
+
+    red = "text"
+    count_cols = []
+    for name, pat in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return (
+        f"SELECT doc_id, {red} AS redacted, {', '.join(count_cols)} FROM documents"
+    )
 
 
 def _duck_fold_dot(a: str, b: str) -> str:
@@ -690,6 +727,44 @@ def _duck_fold_dot(a: str, b: str) -> str:
         f"list_transform(list_zip({a}, {b}), s -> CAST(s[1] * s[2] AS DOUBLE))), "
         "(x, y) -> x + y)"
     )
+
+
+def _duck_fold_cos(a: str, b: str) -> str:
+    """Full cosine with the fold dot — bit-identical to similarity.cosine."""
+    return (
+        f"{_duck_fold_dot(a, b)} / "
+        f"(sqrt({_duck_fold_dot(a, a)}) * sqrt({_duck_fold_dot(b, b)}))"
+    )
+
+
+def _ivf_topk_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
+    """IVF ANN, exactly reproducible: the coarse codebook is the embeddings
+    of vec_id < n_cells, assignment is argmax cosine with (cell ASC)
+    tie-break — identical algebra to the Spark plan."""
+    return f"""
+WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cv
+              FROM embeddings WHERE vec_id < {n_cells}),
+ca AS (SELECT e.vec_id, e.embedding, c.cell,
+              {_duck_fold_cos('e.embedding', 'c.cv')} AS cs
+       FROM embeddings e CROSS JOIN cent c),
+corpus AS (SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+    FROM ca) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+qa AS (SELECT q.query_id, q.qv, c.cell, {_duck_fold_cos('q.qv', 'c.cv')} AS cs
+       FROM q CROSS JOIN cent c),
+probed AS (SELECT query_id, qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell ASC) AS rn
+    FROM qa) WHERE rn <= {n_probe}),
+s AS (SELECT p.query_id, co.vec_id,
+             round({_duck_fold_cos('co.embedding', 'p.qv')}, 6) AS cos_sim
+      FROM corpus co JOIN probed p ON co.cell = p.cell AND co.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
+                 AS rank
+      FROM s)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}
+"""
 
 
 def _cosine_near_dup_oracle() -> str:

@@ -105,6 +105,71 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: DataFrame, n_probe: int = 1
+) -> DataFrame:
+    """Assign each vector to its `n_probe` nearest coarse cells by cosine.
+    `centroids` = (cell int, cv array<float>) — SMALL (tens to thousands of
+    rows), so it broadcasts and the assignment is a narrow map-side pass:
+    at 100 TB the corpus is scanned once and never shuffled here.
+
+    n_probe=1 uses groupBy max(struct(cos, -cell)) (map-side partial agg);
+    n_probe>1 ranks within the (tiny) per-row candidate set."""
+    joined = df.crossJoin(F.broadcast(centroids))
+    cos = cosine(F.col(vec_col), F.col("cv"))
+    other = [c for c in df.columns]
+    if n_probe == 1:
+        # argmax by (cos, -cell): deterministic tie-break toward smaller cell
+        agg = (
+            joined.withColumn("_sc", F.struct(cos.alias("c"), (-F.col("cell")).alias("nc")))
+            .groupBy(*other)
+            .agg(F.max("_sc").alias("_m"))
+        )
+        return agg.select(*other, (-F.col("_m.nc")).cast("int").alias("cell"))
+    w = Window.partitionBy(*other).orderBy(F.desc("_c"), F.asc("cell"))
+    return (
+        joined.withColumn("_c", cos)
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select(*other, "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k — the coarse-quantizer scale path beyond LSH:
+    corpus vectors are bucketed by nearest centroid (one narrow broadcast
+    pass, no corpus shuffle), queries probe their `n_probe` nearest cells,
+    and scoring runs only inside probed cells (an equi-join on cell).
+
+    Centroids are taken deterministically as the embeddings of the lowest
+    `n_cells` vec_ids (a fixed coarse codebook; a real pipeline would k-means
+    them offline — the query shape is identical), which keeps the whole
+    operator exactly reproducible in SQL for the oracle."""
+    centroids = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
+    )
+    corpus = ivf_assign(embeddings, "embedding", centroids, n_probe=1)
+    probed = ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
+    joined = corpus.join(probed, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("_rn").cast("long").alias("rank"))
+    )
+
+
 def cosine_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

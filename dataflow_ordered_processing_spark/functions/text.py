@@ -21,16 +21,46 @@ LANG_MARKERS = {
 }
 
 
+# GPT-2-ish pre-tokenizer shape, dialect-portable (no lookaheads, so it means
+# the same thing to Java regex and RE2): letter runs | single digit | single
+# non-alnum symbol. The real BPE merges further; this counts pre-merge pieces.
+BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# PII patterns, dialect-portable. Applied in order; earlier replacements
+# insert only <TAG> tokens that later patterns cannot match.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9 ()-]{7,}[0-9]"),
+]
+
+
 def token_count(df: DataFrame, col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic —
-    the common 'about 4 chars per token' rule)."""
+    """Whitespace tokens + BPE-ish counts: a real pre-tokenizer regex match
+    count (BPE_REGEX) and the cheap chars/4 estimate."""
     toks = F.size(F.split(F.trim(F.col(col)), r"\s+"))
     return df.select(
         "doc_id",
         toks.alias("n_ws_tokens"),
+        F.regexp_count(F.col(col), F.lit(BPE_REGEX)).cast("long").alias("n_bpe_regex"),
         F.ceil(F.length(col) / 4).cast("long").alias("n_bpe_est"),
         F.length(col).alias("n_chars_measured"),
     )
+
+
+def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """Training-data scrubbing: replace emails / IPv4s / phone numbers with
+    <TAG> tokens and count each kind. Pure codegen regexp_replace chain —
+    no Python, narrow (no shuffle), exactly what you want applied to 100 TB
+    of raw text before anything else runs."""
+    redacted = F.col(col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select("doc_id", redacted.alias("redacted"), *counts)
 
 
 def quality_score(df: DataFrame, col: str = "text") -> DataFrame:

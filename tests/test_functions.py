@@ -185,3 +185,50 @@ def test_decode_audio_rejects_non_pcm16():
         w.writeframes(b"\x00\x00\x00\x00")
     with pytest.raises(ValueError):
         multimodal.decode_audio(buf.getvalue())
+
+
+def test_redact_pii_on_crafted_text(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk or bob@test.io thanks"),
+        (2, "server at 10.0.255.3 port 80; call +1 (415) 555-0199 now"),
+        (3, "clean text with no secrets at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.redact_pii(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_email"] == 2
+    assert "<EMAIL>" in got.loc[1, "redacted"] and "@" not in got.loc[1, "redacted"]
+    assert got.loc[2, "n_ipv4"] == 1 and got.loc[2, "n_phone"] == 1
+    assert "<IPV4>" in got.loc[2, "redacted"] and "<PHONE>" in got.loc[2, "redacted"]
+    assert got.loc[3, "redacted"] == rows[2][1]
+    assert (got[["n_email", "n_ipv4", "n_phone"]].loc[3] == 0).all()
+
+
+def test_bpe_regex_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2 (42)")], "doc_id long, text string")
+    got = text.token_count(df).toPandas().iloc[0]
+    # Hello , world ! x 2 ( 4 2 )  -> 10 pieces
+    assert got["n_bpe_regex"] == 10
+    assert got["n_ws_tokens"] == 4
+
+
+def test_ivf_topk_recall_and_self_cells(embs):
+    queries = embs.limit(3).select(
+        embs.vec_id.alias("query_id"), embs.embedding.alias("q_embedding")
+    )
+    got = similarity.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2).toPandas()
+    assert (got["rank"] <= 5).all()
+    # recall vs brute force is imperfect but nonzero with 8 cells / 2 probes
+    bf = similarity.brute_force_topk(embs, queries, k=5).toPandas()
+    inter = set(map(tuple, got[["query_id", "vec_id"]].values)) & set(
+        map(tuple, bf[["query_id", "vec_id"]].values)
+    )
+    assert len(inter) > 0
+    # a centroid vector must be assigned to its own cell (cos = 1 with itself)
+    from pyspark.sql import functions as F
+
+    cents = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(embs.filter(F.col("vec_id") < 8), "embedding", cents)
+    rows = assigned.toPandas()
+    assert (rows["cell"] == rows["vec_id"]).all()
