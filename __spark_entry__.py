@@ -246,6 +246,32 @@ def _q_ordered_stream(spark, sf_dir):
     return data.select(*_ORDERED_COLS)
 
 
+def _q_ordered_stream_sharded(spark, sf_dir):
+    """The sharded-state streaming engine (state keyed by hash shard, one
+    stateful invocation per shard per micro-batch — ~3x the classic
+    operator's throughput, see BENCH/BASELINE.md) run to completion over the
+    staged arrival; SAME exact oracle as every other ordering path."""
+    from dataflow_ordered_processing_spark.streaming import ordered_stream_sharded
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import split_output
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+
+    stage = tempfile.mkdtemp(prefix="ordered-sharded-src-")
+    _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    name = "ordered_sharded_out"
+    q = (
+        ordered_stream_sharded(src, n_shards=64)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data, _ = split_output(spark.table(name))
+    return data.select(*_ORDERED_COLS)
+
+
 def _q_ordered_status(spark, sf_dir):
     return ordered_status_batch(_arrival_df(spark, sf_dir)).select(
         "conv_id",
@@ -477,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_emit_pandas": _q_ordered_emit_pandas,
         "ordered_emit_salted": _q_ordered_emit_salted,
         "ordered_stream": _q_ordered_stream,
+        "ordered_stream_sharded": _q_ordered_stream_sharded,
         "ordered_status": _q_ordered_status,
         "conversation_depth": _q_conversation_depth,
         "conversation_depth_salted": _q_conversation_depth_salted,
@@ -517,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "ordered_emit_pandas": ordered,
         "ordered_emit_salted": ordered,
         "ordered_stream": ordered,
+        "ordered_stream_sharded": ordered,
         "ordered_status": _STATUS_ORACLE,
         "conversation_depth": _DEPTH_ORACLE,
         "conversation_depth_salted": _DEPTH_ORACLE,

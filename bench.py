@@ -79,6 +79,29 @@ def main() -> int:
         return data.count()
 
     emitted = run("ordered_stream", stream_run)
+
+    def sharded_run():
+        from dataflow_ordered_processing_spark.streaming import ordered_stream_sharded
+
+        src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+        out_name = "bench_sharded_out"
+        q = (
+            ordered_stream_sharded(src, n_shards=cpus * 8)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        data, _ = split_output(spark.table(out_name))
+        return data.count()
+
+    emitted_sharded = run("ordered_stream_sharded", sharded_run)
+    assert emitted_sharded == emitted, "engines must emit identical row counts"
+    extras["sharded_turns_per_sec"] = round(
+        n_arrival / timings["ordered_stream_sharded"], 1
+    )
     # throughput = ARRIVAL turns ingested+ordered per second (the damage
     # predicate buffers gapped turns by design, so emitted < ingested)
     extras["ordered_turns_per_sec"] = round(n_arrival / timings["ordered_stream"], 1)

@@ -1,0 +1,233 @@
+"""Sharded-state variant of the streaming ordered processor.
+
+The classic operator (ordered_stream.py) keys applyInPandasWithState by
+conv_id: correct, but its throughput ceiling is the PER-GROUP invocation
+overhead — state Row marshalling, JVM↔Python chatter, and one output frame
+per key per micro-batch (~3.4 ms/group measured in round 1, while the actual
+numpy state-machine work is ~0.05 ms). This variant keys state by
+``shard = pmod(xxhash64(conv_id), n_shards)`` and keeps a DICTIONARY of
+per-conversation states inside one pickled binary state value:
+
+  - ONE stateful-group invocation per shard per micro-batch, amortizing the
+    invocation overhead over every active conversation in the shard;
+  - the inner loop runs the SAME per-conversation state machine
+    (ordered_core.apply_batch), so emitted rows, statuses, duplicate
+    handling, capped drain, TTL eviction, and cleanup semantics are
+    IDENTICAL to the classic operator (tests assert row-level equality);
+  - output frames are built once per shard from concatenated numpy columns,
+    not once per conversation.
+
+Trade-off (why both variants exist): the shard state blob is re-pickled
+every micro-batch, so its cost is O(total pending buffer in the shard), not
+O(arrivals). With bounded gaps (buffers drain) the blob stays small and this
+variant is strictly faster; a pathological shard where huge buffers sit idle
+for hours would favor the classic per-key operator whose untouched keys cost
+nothing. n_shards should track total cores across the cluster (shards are
+the parallelism unit here — at 1000 executors give it 8-32k shards).
+
+Reference semantics: same contract as ordered_stream.py
+(OrderedEventProcessor / OrderBookProcessingPipeline.java:107-120 dual
+output; docs/pipeline-design.md ordering rules).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import ordered_core as core
+from ..schemas import STREAM_OUTPUT_SCHEMA
+from .ordered_stream import (
+    OrderedStreamConfig,
+    _DEPTH_COLS,
+    _STATUS_COLS,
+)
+
+SHARD_STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
+
+_EMPTY_BATCH = core._EMPTY_BUFFER
+
+
+def _conv_to_tuple(st: core.OrderedState) -> tuple:
+    buf = st.buffer
+    return (
+        st.last_emitted,
+        st.received_count,
+        st.result_count,
+        st.duplicate_count,
+        st.last_event_received,
+        st.n_user,
+        st.n_assistant,
+        st.n_tool,
+        st.chars,
+        st.idle_heartbeats,
+        {c: buf[c].to_numpy() for c in core.BUF_COLS} if len(buf) else None,
+    )
+
+
+def _conv_from_tuple(t: tuple) -> core.OrderedState:
+    buf = (
+        pd.DataFrame(t[10], copy=False) if t[10] is not None else core._EMPTY_BUFFER
+    )
+    return core.OrderedState(
+        last_emitted=t[0],
+        received_count=t[1],
+        result_count=t[2],
+        duplicate_count=t[3],
+        last_event_received=t[4],
+        n_user=t[5],
+        n_assistant=t[6],
+        n_tool=t[7],
+        chars=t[8],
+        idle_heartbeats=t[9],
+        buffer=buf,
+    )
+
+
+def _shard_data_frame(conv_ids: list[np.ndarray], parts: list[dict]) -> pd.DataFrame:
+    """One STREAM_OUTPUT_SCHEMA frame for ALL conversations emitted by this
+    shard in this batch — the amortization that makes sharding pay."""
+    conv = np.concatenate(conv_ids)
+    n = len(conv)
+    cols = {
+        c: np.concatenate([p[c] for p in parts])
+        for c in ("turn_idx", "role", "text", "tool", "ts_us", "emit_seq", *_DEPTH_COLS)
+    }
+    nan = np.full(n, np.nan)
+    return pd.DataFrame(
+        {
+            "row_type": np.full(n, "data", dtype=object),
+            "conv_id": conv,
+            "turn_idx": cols["turn_idx"].astype("int32", copy=False),
+            "role": cols["role"],
+            "text": cols["text"],
+            "tool": cols["tool"],
+            "ts": cols["ts_us"].astype("int64", copy=False).view("M8[us]"),
+            "emit_seq": cols["emit_seq"].astype("int64", copy=False),
+            **{c: cols[c].astype("int64", copy=False) for c in _DEPTH_COLS},
+            "status_ts": pd.Series(np.full(n, None), dtype="datetime64[us]"),
+            **{c: nan for c in _STATUS_COLS if c != "last_event_received"},
+            "last_event_received": np.full(n, None, dtype=object),
+        }
+    )
+
+
+def _shard_status_frame(statuses: list[dict]) -> pd.DataFrame:
+    from datetime import datetime, timezone
+
+    n = len(statuses)
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    return pd.DataFrame(
+        {
+            "row_type": np.full(n, "status", dtype=object),
+            "conv_id": np.array([s["conv_id"] for s in statuses], dtype=object),
+            "turn_idx": np.full(n, None, dtype=object),
+            "role": np.full(n, None, dtype=object),
+            "text": np.full(n, None, dtype=object),
+            "tool": np.full(n, None, dtype=object),
+            "ts": pd.Series(np.full(n, None), dtype="datetime64[us]"),
+            "emit_seq": np.full(n, None, dtype=object),
+            **{c: np.full(n, None, dtype=object) for c in _DEPTH_COLS},
+            "status_ts": pd.Series(np.full(n, now), dtype="datetime64[us]"),
+            **{
+                c: np.array([s[c] for s in statuses], dtype=object)
+                for c in _STATUS_COLS
+            },
+        }
+    )
+
+
+def make_sharded_func(cfg: OrderedStreamConfig):
+    def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        states: dict = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+
+        data_convs: list[np.ndarray] = []
+        data_parts: list[dict] = []
+        statuses: list[dict] = []
+
+        def run_conv(conv_id: str, st: core.OrderedState, batch: pd.DataFrame) -> None:
+            emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
+            if len(emitted):
+                data_convs.append(np.full(len(emitted), conv_id, dtype=object))
+                data_parts.append({c: emitted[c].to_numpy(copy=False) for c in emitted})
+
+        if state.hasTimedOut:
+            # heartbeat for every conversation still holding state in this
+            # shard (same cadence as the classic per-key timer)
+            for conv_id in list(states):
+                st = _conv_from_tuple(states[conv_id])
+                st.idle_heartbeats += 1
+                run_conv(conv_id, st, _EMPTY_BATCH)
+                statuses.append(core.status_dict(conv_id, st))
+                evict = (
+                    cfg.evict_idle_after_heartbeats is not None
+                    and st.idle_heartbeats >= cfg.evict_idle_after_heartbeats
+                )
+                if evict:
+                    del states[conv_id]
+                else:
+                    states[conv_id] = _conv_to_tuple(st)
+        else:
+            frames = list(pdfs)
+            batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+            # one vectorized ts conversion for the WHOLE shard batch
+            batch = batch.assign(ts_us=core.ts_to_us(batch["ts"]))
+            for conv_id, g in batch.groupby("conv_id", sort=False):
+                t = states.get(conv_id)
+                st = (
+                    _conv_from_tuple(t)
+                    if t is not None
+                    else core.OrderedState(last_emitted=cfg.initial_turn_idx - 1)
+                )
+                run_conv(conv_id, st, g)
+                st.idle_heartbeats = 0
+                if cfg.emit_status_every_batch:
+                    statuses.append(core.status_dict(conv_id, st))
+                if st.complete and cfg.cleanup_on_complete:
+                    states.pop(conv_id, None)
+                else:
+                    states[conv_id] = _conv_to_tuple(st)
+
+        if states:
+            state.update((pickle.dumps(states, protocol=5),))
+            if cfg.status_heartbeat_ms:
+                state.setTimeoutDuration(cfg.status_heartbeat_ms)
+        else:
+            state.remove()
+
+        if data_parts:
+            yield _shard_data_frame(data_convs, data_parts)
+        if statuses:
+            yield _shard_status_frame(statuses)
+
+    return func
+
+
+def ordered_stream_sharded(
+    df: DataFrame, cfg: OrderedStreamConfig | None = None, n_shards: int = 256
+) -> DataFrame:
+    """Sharded-state ordered processor: same unified data+status output as
+    ordered_stream (STREAM_OUTPUT_SCHEMA), state keyed by hash shard."""
+    cfg = cfg or OrderedStreamConfig()
+    timeout = "ProcessingTimeTimeout" if cfg.status_heartbeat_ms else "NoTimeout"
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_shards)).cast("int")
+    )
+    return (
+        sharded.groupBy("_shard")
+        .applyInPandasWithState(
+            make_sharded_func(cfg),
+            outputStructType=STREAM_OUTPUT_SCHEMA,
+            stateStructType=SHARD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

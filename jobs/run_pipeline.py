@@ -103,6 +103,20 @@ def main() -> int:
         help="split the bounded input into multiple micro-batches (enables "
         "sustained-throughput measurement over steady-state batches)",
     )
+    ap.add_argument(
+        "--engine",
+        choices=["classic", "sharded"],
+        default="classic",
+        help="classic = state per conv_id (applyInPandasWithState per key); "
+        "sharded = state per hash shard, one invocation per shard per batch "
+        "(amortizes per-group overhead across conversations)",
+    )
+    ap.add_argument(
+        "--n-shards",
+        type=int,
+        default=256,
+        help="shard count for --engine sharded (should track total cores)",
+    )
     args = ap.parse_args()
 
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
@@ -111,6 +125,7 @@ def main() -> int:
         BufferMetricsListener,
         OrderedStreamConfig,
         ordered_stream,
+        ordered_stream_sharded,
     )
     from dataflow_ordered_processing_spark.streaming.sinks import (
         SinkConfig,
@@ -147,9 +162,12 @@ def main() -> int:
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     src = reader.parquet(args.source)
+    if args.engine == "sharded":
+        unified = ordered_stream_sharded(src, cfg, n_shards=args.n_shards)
+    else:
+        unified = ordered_stream(src, cfg)
     writer = (
-        ordered_stream(src, cfg)
-        .writeStream.outputMode("append")
+        unified.writeStream.outputMode("append")
         .foreachBatch(split_sink(sink))
         .option("checkpointLocation", sink.checkpoint)
         .queryName("ordered-transcripts")

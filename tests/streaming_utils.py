@@ -54,15 +54,21 @@ class StagedStream:
         self._i += 1
 
 
-def run_to_memory(spark, tmpdir, batches, cfg=None, name=None):
+def run_to_memory(spark, tmpdir, batches, cfg=None, name=None, engine="classic", n_shards=8):
     """Feed arrival batches one micro-batch at a time through the ordered
     stream into a memory sink; returns (query, table_name, per-step row
-    counts)."""
-    from dataflow_ordered_processing_spark.streaming import ordered_stream
+    counts). engine='sharded' routes through the shard-keyed state variant."""
+    from dataflow_ordered_processing_spark.streaming import (
+        ordered_stream,
+        ordered_stream_sharded,
+    )
 
     name = name or f"out_{uuid.uuid4().hex[:8]}"
     st = StagedStream(spark, tmpdir)
-    unified = ordered_stream(st.source(), cfg)
+    if engine == "sharded":
+        unified = ordered_stream_sharded(st.source(), cfg, n_shards=n_shards)
+    else:
+        unified = ordered_stream(st.source(), cfg)
     q = (
         unified.writeStream.outputMode("append")
         .format("memory")

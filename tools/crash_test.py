@@ -26,6 +26,8 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--convs", type=int, default=2_000)
     ap.add_argument("--kill-after", type=float, default=25.0)
+    ap.add_argument("--engine", choices=["classic", "sharded"], default="classic")
+    ap.add_argument("--n-shards", type=int, default=256)
     args = ap.parse_args()
 
     from tools.scaling_bench import generate_input  # noqa: E402
@@ -45,6 +47,8 @@ def main() -> int:
         "--available-now",
         "--max-files-per-trigger", "4",
         "--master", "local[8]",
+        "--engine", args.engine,
+        "--n-shards", str(args.n_shards),
     ]
 
     # leg 1: SIGKILL mid-run (no cleanup, no shutdown hooks)

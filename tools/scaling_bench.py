@@ -84,6 +84,10 @@ def generate_input(out_dir: str, rows: int, convs: int, cpus: int = 32) -> int:
 ROCKSDB = True  # default: RocksDB state store (disable with --hdfs-state-store)
 
 
+ENGINE = "classic"
+N_SHARDS = 256
+
+
 def run_leg(src: str, cpus: int, workdir: str) -> dict:
     out = os.path.join(workdir, f"out-{cpus}")
     ckpt = os.path.join(workdir, f"ckpt-{cpus}")
@@ -112,6 +116,12 @@ def run_leg(src: str, cpus: int, workdir: str) -> dict:
             # long-lived workers.
             "--master",
             f"local[{cpus}]",
+            "--engine",
+            ENGINE,
+            # logical shard count FIXED across legs (production streaming
+            # keeps its key space stable while executors scale)
+            "--n-shards",
+            str(N_SHARDS),
         ]
         + ([] if ROCKSDB else ["--hdfs-state-store"]),
         capture_output=True,
@@ -133,9 +143,13 @@ def main() -> int:
     ap.add_argument("--four-n", type=int, default=32)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--hdfs-state-store", action="store_true")
+    ap.add_argument("--engine", choices=["classic", "sharded"], default="classic")
+    ap.add_argument("--n-shards", type=int, default=256)
     args = ap.parse_args()
-    global ROCKSDB
+    global ROCKSDB, ENGINE, N_SHARDS
     ROCKSDB = not args.hdfs_state_store
+    ENGINE = args.engine
+    N_SHARDS = args.n_shards
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="scaling-")
     src = os.path.join(workdir, "src")
@@ -170,8 +184,9 @@ def main() -> int:
         "legs": legs,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    tag = "" if args.engine == "classic" else f"{args.engine}_"
     with open(
-        os.path.join(REPO, "BENCH", f"scaling_{args.n}_{args.four_n}.json"), "w"
+        os.path.join(REPO, "BENCH", f"scaling_{tag}{args.n}_{args.four_n}.json"), "w"
     ) as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
