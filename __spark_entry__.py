@@ -773,13 +773,14 @@ def _ivf_topk_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
 WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cv
               FROM embeddings WHERE vec_id < {n_cells}),
 ca AS (SELECT e.vec_id, e.embedding, c.cell,
-              {_duck_fold_cos('e.embedding', 'c.cv')} AS cs
+              {_duck_fold_cos('e.embedding', 'CAST(c.cv AS DOUBLE[])')} AS cs
        FROM embeddings e CROSS JOIN cent c),
 corpus AS (SELECT vec_id, embedding, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
     FROM ca) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
-qa AS (SELECT q.query_id, q.qv, c.cell, {_duck_fold_cos('q.qv', 'c.cv')} AS cs
+qa AS (SELECT q.query_id, q.qv, c.cell,
+              {_duck_fold_cos('q.qv', 'CAST(c.cv AS DOUBLE[])')} AS cs
        FROM q CROSS JOIN cent c),
 probed AS (SELECT query_id, qv, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell ASC) AS rn

@@ -106,32 +106,33 @@ def lsh_topk(
 
 
 def ivf_assign(
-    df: DataFrame, vec_col: str, centroids: DataFrame, n_probe: int = 1
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its `n_probe` nearest coarse cells by cosine.
-    `centroids` = (cell int, cv array<float>) — SMALL (tens to thousands of
-    rows), so it broadcasts and the assignment is a narrow map-side pass:
-    at 100 TB the corpus is scanned once and never shuffled here.
-
-    n_probe=1 uses groupBy max(struct(cos, -cell)) (map-side partial agg);
-    n_probe>1 ranks within the (tiny) per-row candidate set."""
-    joined = df.crossJoin(F.broadcast(centroids))
-    cos = cosine(F.col(vec_col), F.col("cv"))
-    other = [c for c in df.columns]
-    if n_probe == 1:
-        # argmax by (cos, -cell): deterministic tie-break toward smaller cell
-        agg = (
-            joined.withColumn("_sc", F.struct(cos.alias("c"), (-F.col("cell")).alias("nc")))
-            .groupBy(*other)
-            .agg(F.max("_sc").alias("_m"))
+    `centroids` is the (tiny) codebook embedded as LITERALS — like the LSH
+    hyperplanes — so assignment is a pure narrow projection: argmax over an
+    in-row array of (cos, -cell) structs. NO join, NO groupBy, NO shuffle;
+    at 100 TB the corpus is scanned exactly once and nothing moves.
+    Tie-break: smaller cell wins (deterministic)."""
+    entries = []
+    for cell, cv in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        entries.append(
+            F.struct(
+                cosine(F.col(vec_col), lit).alias("c"), F.lit(-cell).alias("nc")
+            )
         )
-        return agg.select(*other, (-F.col("_m.nc")).cast("int").alias("cell"))
-    w = Window.partitionBy(*other).orderBy(F.desc("_c"), F.asc("cell"))
-    return (
-        joined.withColumn("_c", cos)
-        .withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") <= n_probe)
-        .select(*other, "cell")
+    arr = F.array(*entries)
+    if n_probe == 1:
+        best = F.array_max(arr)
+        return df.withColumn("cell", (-best["nc"]).cast("int"))
+    # n_probe nearest cells: sort the (tiny) in-row array desc, take n_probe
+    probes = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+    return df.withColumn(
+        "cell", F.explode(F.transform(probes, lambda s: (-s["nc"]).cast("int")))
     )
 
 
@@ -143,20 +144,27 @@ def ivf_topk(
     n_probe: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k — the coarse-quantizer scale path beyond LSH:
-    corpus vectors are bucketed by nearest centroid (one narrow broadcast
-    pass, no corpus shuffle), queries probe their `n_probe` nearest cells,
-    and scoring runs only inside probed cells (an equi-join on cell).
+    corpus vectors are bucketed by nearest centroid (a narrow literal-codebook
+    projection, no corpus shuffle), queries probe their `n_probe` nearest
+    cells, and scoring runs only inside probed cells via a BROADCAST join of
+    the (tiny) probed query set against the bucketed corpus.
 
     Centroids are taken deterministically as the embeddings of the lowest
     `n_cells` vec_ids (a fixed coarse codebook; a real pipeline would k-means
-    them offline — the query shape is identical), which keeps the whole
-    operator exactly reproducible in SQL for the oracle."""
-    centroids = embeddings.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
+    them offline — the query shape is identical). Collecting them is a
+    plan-build step (n_cells rows), exactly like generating LSH hyperplanes,
+    and keeps the whole operator exactly reproducible in SQL for the oracle."""
+    cent_rows = (
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect()
     )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
     corpus = ivf_assign(embeddings, "embedding", centroids, n_probe=1)
     probed = ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
-    joined = corpus.join(probed, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    joined = corpus.join(F.broadcast(probed), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
     scored = joined.select(
         "query_id",
         "vec_id",

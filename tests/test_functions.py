@@ -226,9 +226,8 @@ def test_ivf_topk_recall_and_self_cells(embs):
     # a centroid vector must be assigned to its own cell (cos = 1 with itself)
     from pyspark.sql import functions as F
 
-    cents = embs.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
-    )
+    cent_rows = embs.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
     assigned = similarity.ivf_assign(embs.filter(F.col("vec_id") < 8), "embedding", cents)
     rows = assigned.toPandas()
     assert (rows["cell"] == rows["vec_id"]).all()
