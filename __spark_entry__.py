@@ -371,6 +371,14 @@ def _q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def _q_dedup_keep_first(spark, sf_dir):
+    """Near-dup resolution: LSH candidate pairs → keep the earliest doc of
+    each cluster (anti-join on doc_b)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
+    return dedup.dedup_keep_first(docs, pairs).select("doc_id")
+
+
 def _q_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(docs)
@@ -520,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal_features,
         "simhash": _q_simhash,
@@ -712,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _redact_pii_oracle(),
         "minhash_lsh_pairs": _MINHASH_ORACLE,
+        "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "simhash": _SIMHASH_ORACLE,
         "fingerprint": _FINGERPRINT_ORACLE,
@@ -885,6 +895,14 @@ SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 """
+
+# keep-first resolution on top of the LSH candidate pairs: drop every doc
+# that appears as the larger id of a pair (anti-join on doc_b)
+_DEDUP_KEEP_FIRST_ORACLE = (
+    "WITH pairs AS (" + _MINHASH_ORACLE + ")\n"
+    "SELECT d.doc_id FROM documents d\n"
+    "WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)"
+)
 
 _SHINGLES3 = (
     "list_transform(range(1, greatest(len(w) - 2, 1) + 1), "
