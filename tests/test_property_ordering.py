@@ -113,3 +113,82 @@ def test_max_emit_never_changes_the_final_result(plan, cap):
         t += 1
     assert emitted == expected
     assert st_.duplicate_count == len(seq) - len(present)
+
+
+# ------------------------- sharded engine: same properties, real func body
+class _FakeGroupState:
+    """Minimal GroupState stand-in to drive make_sharded_func directly —
+    tests the exact production function body without a Spark session."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _shard_batch(conv_turns):
+    """conv_turns: list of (conv_id, turn_idx) arrival rows, in order."""
+    n = len(conv_turns)
+    return pd.DataFrame(
+        {
+            "conv_id": [c for c, _ in conv_turns],
+            "turn_idx": pd.Series([t for _, t in conv_turns], dtype="int32"),
+            "role": ["user"] * n,
+            "text": [f"t{t}" for _, t in conv_turns],
+            "tool": [None] * n,
+            "ts": [T0 + timedelta(seconds=30 * t) for _, t in conv_turns],
+        }
+    )
+
+
+@given(st.lists(arrival_plan(), min_size=1, max_size=3), st.randoms())
+@settings(max_examples=50, deadline=None)
+def test_sharded_func_multi_conv_matches_serial_oracle(plans, rng):
+    from dataflow_ordered_processing_spark.streaming.ordered_sharded import (
+        make_sharded_func,
+    )
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+        OrderedStreamConfig,
+    )
+
+    func = make_sharded_func(OrderedStreamConfig())
+    state = _FakeGroupState()
+    # interleave the per-conv batch lists into shared shard batches
+    n_rounds = max(len(p[2]) for p in plans)
+    emitted: dict[str, list] = {f"c{i}": [] for i in range(len(plans))}
+    for r in range(n_rounds):
+        rows = []
+        for i, (_present, _seq, batches) in enumerate(plans):
+            if r < len(batches):
+                rows.extend((f"c{i}", t) for t in batches[r])
+        rng.shuffle(rows)
+        if not rows:
+            continue
+        for frame in func((0,), iter([_shard_batch(rows)]), state):
+            data = frame[frame["row_type"] == "data"]
+            for conv, t in zip(data["conv_id"], data["turn_idx"]):
+                emitted[conv].append(int(t))
+
+    for i, (present, _seq, _batches) in enumerate(plans):
+        expected = []
+        t = 1
+        while t in present:
+            expected.append(t)
+            t += 1
+        assert emitted[f"c{i}"] == expected, f"conv c{i}"
