@@ -128,7 +128,9 @@ def main() -> int:
             data_path=os.path.join(sink_dir, "data"),
             checkpoint=os.path.join(sink_dir, "ckpt"),
         )
-        q = start_ordered_pipeline(src, cfgS)
+        # flagship path: the sharded engine (row-identical to classic; see
+        # BENCH/BASELINE.md for the A/B)
+        q = start_ordered_pipeline(src, cfgS, engine="sharded", n_shards=cpus * 8)
         q.processAllAvailable()
         q.stop()
         sunk = read_sink(spark, cfgS.data_path)

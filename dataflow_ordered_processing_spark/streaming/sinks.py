@@ -226,13 +226,24 @@ def start_ordered_pipeline(
     source: DataFrame,
     sink: SinkConfig,
     stream_cfg: OrderedStreamConfig | None = None,
+    engine: str = "classic",
+    n_shards: int = 256,
 ) -> StreamingQuery:
     """Wire source → ordered processor → dual sink; return the running query.
 
     ``source`` is a streaming DataFrame with TRANSCRIPT_SCHEMA (e.g.
     readStream over an Iceberg/parquet directory of arrival batches).
+    ``engine='sharded'`` selects the shard-keyed state variant (same output,
+    ~3× throughput; see ordered_sharded.py).
     """
-    unified = ordered_stream(source, stream_cfg)
+    if engine == "sharded":
+        from .ordered_sharded import ordered_stream_sharded
+
+        unified = ordered_stream_sharded(source, stream_cfg, n_shards=n_shards)
+    elif engine == "classic":
+        unified = ordered_stream(source, stream_cfg)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     writer = (
         unified.writeStream.outputMode("append")
         .foreachBatch(split_sink(sink))
