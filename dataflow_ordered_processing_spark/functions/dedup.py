@@ -25,9 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-_last_band_cache = None  # bounded persist for the LSH self-join (see below)
-
-
 def _norm(col: str = "text"):
     return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
 
@@ -93,20 +90,13 @@ def minhash_lsh_pairs(
     exploded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", "band.band_id", "band.band_key"
     )
-    # self-join: without persist, BOTH sides recompute the whole
-    # shingle→minhash pipeline; the persisted table is digests only
-    # (bands × 16-byte keys per doc), tiny relative to the corpus.
-    # Only ONE cache is kept alive across calls (the previous call's cache
-    # is released here) so repeated invocations cannot accumulate pinned
-    # storage blocks.
-    global _last_band_cache
-    if _last_band_cache is not None:
-        try:
-            _last_band_cache.unpersist()
-        except Exception:
-            pass
-    exploded = exploded.persist()
-    _last_band_cache = exploded
+    # self-join: without materialization, BOTH sides recompute the whole
+    # shingle→minhash pipeline. localCheckpoint (eager) computes the band
+    # table ONCE — digests only, bands × 16-byte keys per doc, tiny relative
+    # to the corpus — truncates its lineage, and needs no caller-visible
+    # cache management (blocks are released with the RDD by GC), unlike the
+    # round-1 module-global persist cache (thread-unsafe, surprising).
+    exploded = exploded.localCheckpoint(eager=True)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
