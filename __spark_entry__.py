@@ -120,6 +120,7 @@ _STATUS_HISTORY_CTE = """
 ), ev AS (
   SELECT *,
          CASE WHEN row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY s) > 1
+                   OR turn_idx < 1
               THEN 1 ELSE 0 END AS is_dup
   FROM seqd
 ), fa AS (
@@ -149,7 +150,8 @@ _STATUS_HISTORY_CTE = """
   WINDOW cum AS (PARTITION BY conv_id ORDER BY s ROWS UNBOUNDED PRECEDING)
 ), statuses AS (
   SELECT conv_id, arrival_seq, status_ts, turn_idx, received_count, duplicate_count,
-         last_emitted, last_emitted AS result_count,
+         CASE WHEN last_emitted > 0 THEN last_emitted END AS last_emitted,
+         last_emitted AS result_count,
          received_count - duplicate_count - last_emitted AS buffered_count,
          CASE WHEN max_turn > last_emitted THEN max_turn END AS latest_buffered,
          CAST(end_cum AS BOOLEAN) AS last_event_received
@@ -608,8 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_tool_counts": _with_transcripts(
             """
             SELECT conv_id,
-                   CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
-                        AS TIMESTAMP) AS window_start,
+                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+                       AS window_start,
                    CAST(count(*) AS BIGINT) AS n_turns,
                    CAST(count(tool) AS BIGINT) AS n_tool_calls
             FROM transcripts GROUP BY 1, 2
@@ -618,8 +620,9 @@ def oracle_sql() -> dict[str, str]:
         "sliding_turn_rate": _with_transcripts(
             """
             , slid AS (
-              SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT))
-                          AS TIMESTAMP) AS window_start
+              SELECT make_timestamp(
+                         CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT) * 1000000)
+                         AS window_start
               FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
             )
             SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns

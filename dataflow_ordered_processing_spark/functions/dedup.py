@@ -96,6 +96,11 @@ def minhash_lsh_pairs(
     # to the corpus — truncates its lineage, and needs no caller-visible
     # cache management (blocks are released with the RDD by GC), unlike the
     # round-1 module-global persist cache (thread-unsafe, surprising).
+    # CAVEAT (cluster): localCheckpoint blocks live on executor-local
+    # storage only — an executor lost between here and the join fails the
+    # job instead of recomputing; with dynamic allocation or preemptible
+    # executors prefer reliable checkpointing (set a checkpoint dir and use
+    # .checkpoint()) or persist with replication.
     exploded = exploded.localCheckpoint(eager=True)
     left = exploded.alias("l")
     right = exploded.alias("r")

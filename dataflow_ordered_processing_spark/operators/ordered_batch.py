@@ -192,7 +192,12 @@ def per_event_status_batch(
         "turn_idx",
         seq.alias("received_count"),
         F.col("_dup_cum").alias("duplicate_count"),
-        F.col("_last_emitted").alias("last_emitted"),
+        # NULL until the first emission — matching ordered_status_batch and
+        # the streaming status_dict (reference: lastEmitted unset before the
+        # first in-order result)
+        F.when(F.col("_last_emitted") > base, F.col("_last_emitted")).alias(
+            "last_emitted"
+        ),
         (F.col("_last_emitted") - base).alias("result_count"),
         (seq - F.col("_dup_cum") - (F.col("_last_emitted") - base)).alias("buffered_count"),
         F.when(F.col("_max_turn") > F.col("_last_emitted"), F.col("_max_turn")).alias(

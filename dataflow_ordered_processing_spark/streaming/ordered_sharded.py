@@ -143,8 +143,16 @@ def _shard_status_frame(statuses: list[dict]) -> pd.DataFrame:
     )
 
 
+# Reserved (non-string) key inside the shard state dict holding the wall
+# clock of the last heartbeat sweep — conv_id keys are strings, so it can
+# never collide.
+_HB_AT = 0
+
+
 def make_sharded_func(cfg: OrderedStreamConfig):
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        import time
+
         states: dict = (
             pickle.loads(state.get[0]) if state.exists else {}
         )
@@ -153,34 +161,48 @@ def make_sharded_func(cfg: OrderedStreamConfig):
         data_parts: list[dict] = []
         statuses: list[dict] = []
 
-        def run_conv(conv_id: str, st: core.OrderedState, batch: pd.DataFrame) -> None:
+        def run_conv(conv_id: str, st: core.OrderedState, batch: pd.DataFrame) -> int:
             emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
             if len(emitted):
                 data_convs.append(np.full(len(emitted), conv_id, dtype=object))
                 data_parts.append({c: emitted[c].to_numpy(copy=False) for c in emitted})
+            return len(emitted)
 
-        if state.hasTimedOut:
-            # heartbeat for every conversation still holding state in this
-            # shard (same cadence as the classic per-key timer)
+        def heartbeat_sweep(skip: set) -> None:
+            """Per-conversation heartbeat: drain capped remainders, emit a
+            status, TTL-evict idle gapped keys — same per-key semantics as
+            the classic engine's timer. `skip` = convs that just received
+            arrivals (their idle clock was reset this batch)."""
             for conv_id in list(states):
+                if conv_id == _HB_AT or conv_id in skip:
+                    continue
                 st = _conv_from_tuple(states[conv_id])
                 st.idle_heartbeats += 1
-                run_conv(conv_id, st, _EMPTY_BATCH)
+                n_emitted = run_conv(conv_id, st, _EMPTY_BATCH)
                 statuses.append(core.status_dict(conv_id, st))
                 evict = (
                     cfg.evict_idle_after_heartbeats is not None
                     and st.idle_heartbeats >= cfg.evict_idle_after_heartbeats
                 )
-                if evict:
+                # NEVER evict while a capped drain just emitted rows — the
+                # contiguous remainder would be silently dropped (classic
+                # engine guard: ordered_stream.py `evict and not len(emitted)`)
+                if evict and n_emitted == 0:
                     del states[conv_id]
                 else:
                     states[conv_id] = _conv_to_tuple(st)
+            states[_HB_AT] = time.time()
+
+        if state.hasTimedOut:
+            heartbeat_sweep(skip=set())
         else:
             frames = list(pdfs)
             batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
             # one vectorized ts conversion for the WHOLE shard batch
             batch = batch.assign(ts_us=core.ts_to_us(batch["ts"]))
+            arrived = set()
             for conv_id, g in batch.groupby("conv_id", sort=False):
+                arrived.add(conv_id)
                 t = states.get(conv_id)
                 st = (
                     _conv_from_tuple(t)
@@ -195,8 +217,20 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                     states.pop(conv_id, None)
                 else:
                     states[conv_id] = _conv_to_tuple(st)
+            # A busy shard's ProcessingTimeTimeout never fires (any arrival
+            # reschedules it), which would starve idle co-sharded keys of
+            # heartbeats/TTL — the classic engine's PER-KEY timers have no
+            # such coupling. Restore the cadence: if a heartbeat interval
+            # elapsed since the last sweep, sweep the non-arriving keys now.
+            if cfg.status_heartbeat_ms:
+                hb_at = states.get(_HB_AT)
+                if hb_at is None:
+                    states[_HB_AT] = time.time()
+                elif (time.time() - hb_at) * 1000.0 >= cfg.status_heartbeat_ms:
+                    heartbeat_sweep(skip=arrived)
 
-        if states:
+        real_keys = states.keys() - {_HB_AT}
+        if real_keys:
             state.update((pickle.dumps(states, protocol=5),))
             if cfg.status_heartbeat_ms:
                 state.setTimeoutDuration(cfg.status_heartbeat_ms)

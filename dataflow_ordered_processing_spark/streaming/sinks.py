@@ -65,7 +65,12 @@ def row_violation(cfg: SinkConfig) -> F.Column:
     Python in the validation path."""
     checks: list[tuple[str, F.Column]] = [
         ("null_key", F.col("conv_id").isNull()),
-        ("bad_row_type", ~F.col("row_type").isin("data", "status")),
+        # NB: isin is three-valued — a NULL row_type makes ~isin(...) NULL
+        # (not true), which would slip past the filter; test NULL explicitly
+        (
+            "bad_row_type",
+            F.col("row_type").isNull() | ~F.col("row_type").isin("data", "status"),
+        ),
         (
             "bad_turn_idx",
             (F.col("row_type") == "data")
@@ -236,14 +241,9 @@ def start_ordered_pipeline(
     ``engine='sharded'`` selects the shard-keyed state variant (same output,
     ~3× throughput; see ordered_sharded.py).
     """
-    if engine == "sharded":
-        from .ordered_sharded import ordered_stream_sharded
+    from . import build_ordered_stream
 
-        unified = ordered_stream_sharded(source, stream_cfg, n_shards=n_shards)
-    elif engine == "classic":
-        unified = ordered_stream(source, stream_cfg)
-    else:
-        raise ValueError(f"unknown engine {engine!r}")
+    unified = build_ordered_stream(source, stream_cfg, engine=engine, n_shards=n_shards)
     writer = (
         unified.writeStream.outputMode("append")
         .foreachBatch(split_sink(sink))

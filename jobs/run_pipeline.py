@@ -124,8 +124,7 @@ def main() -> int:
     from dataflow_ordered_processing_spark.streaming import (
         BufferMetricsListener,
         OrderedStreamConfig,
-        ordered_stream,
-        ordered_stream_sharded,
+        build_ordered_stream,
     )
     from dataflow_ordered_processing_spark.streaming.sinks import (
         SinkConfig,
@@ -162,10 +161,7 @@ def main() -> int:
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     src = reader.parquet(args.source)
-    if args.engine == "sharded":
-        unified = ordered_stream_sharded(src, cfg, n_shards=args.n_shards)
-    else:
-        unified = ordered_stream(src, cfg)
+    unified = build_ordered_stream(src, cfg, engine=args.engine, n_shards=args.n_shards)
     writer = (
         unified.writeStream.outputMode("append")
         .foreachBatch(split_sink(sink))

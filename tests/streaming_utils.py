@@ -58,17 +58,11 @@ def run_to_memory(spark, tmpdir, batches, cfg=None, name=None, engine="classic",
     """Feed arrival batches one micro-batch at a time through the ordered
     stream into a memory sink; returns (query, table_name, per-step row
     counts). engine='sharded' routes through the shard-keyed state variant."""
-    from dataflow_ordered_processing_spark.streaming import (
-        ordered_stream,
-        ordered_stream_sharded,
-    )
+    from dataflow_ordered_processing_spark.streaming import build_ordered_stream
 
     name = name or f"out_{uuid.uuid4().hex[:8]}"
     st = StagedStream(spark, tmpdir)
-    if engine == "sharded":
-        unified = ordered_stream_sharded(st.source(), cfg, n_shards=n_shards)
-    else:
-        unified = ordered_stream(st.source(), cfg)
+    unified = build_ordered_stream(st.source(), cfg, engine=engine, n_shards=n_shards)
     q = (
         unified.writeStream.outputMode("append")
         .format("memory")

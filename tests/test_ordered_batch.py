@@ -152,7 +152,9 @@ def test_per_event_status_snapshots(spark):
     )
     want = [
         # seq, recv, dup, last, res, buf, latest_buf, end
-        (1, 1, 0, 0, 0, 1, 2, False),
+        # last_emitted is NULL before the first emission (matches
+        # ordered_status_batch / streaming status semantics)
+        (1, 1, 0, None, 0, 1, 2, False),
         (2, 2, 0, 2, 2, 0, None, False),
         (3, 3, 0, 2, 2, 1, 4, True),
         (4, 4, 1, 2, 2, 1, 4, True),
@@ -197,3 +199,29 @@ def test_per_event_status_empty(spark):
 
     empty = _arrival_with_seq(spark, 1, [1]).limit(0)
     assert per_event_status_batch(empty).count() == 0
+
+
+def test_per_event_status_null_last_emitted_before_first_emit(spark):
+    """Review finding: a conversation whose turn 1 never arrives must report
+    last_emitted NULL (not 0) — same as ordered_status_batch and the
+    streaming status rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from dataflow_ordered_processing_spark.operators.ordered_batch import (
+        per_event_status_batch,
+    )
+
+    df = _arrival_with_seq(spark, 4, [2, 3])  # no turn 1 -> nothing emits
+    hist = per_event_status_batch(df).orderBy("arrival_seq").collect()
+    assert [r["last_emitted"] for r in hist] == [None, None]
+    assert [r["result_count"] for r in hist] == [0, 0]
+    # and the latest-row view agrees with the final-status operator
+    w = Window.partitionBy("conv_id").orderBy(F.desc("arrival_seq"))
+    last = (
+        per_event_status_batch(df)
+        .withColumn("rk", F.rank().over(w))
+        .filter("rk = 1")
+        .collect()[0]
+    )
+    final = ordered_status_batch(df.drop("arrival_seq")).collect()[0]
+    assert last["last_emitted"] is None and final["last_emitted"] is None

@@ -107,3 +107,121 @@ def test_sharded_capped_drain(spark, tmp_path):
         assert int(st.iloc[-1]["buffered_count"]) == 1
     finally:
         q.stop()
+
+
+# -------- review-regression tests (round-2 code review findings 1, 2, 3, 4)
+import pickle
+import time as _time
+
+import numpy as np
+
+from dataflow_ordered_processing_spark.operators import ordered_core as core
+from dataflow_ordered_processing_spark.streaming.ordered_sharded import (
+    _HB_AT,
+    _conv_to_tuple,
+    make_sharded_func,
+)
+
+
+class _FakeState:
+    def __init__(self, blob=None, timed_out=False):
+        self._v = (blob,) if blob is not None else None
+        self.hasTimedOut = timed_out
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _state_with(conv_states: dict, hb_at=None) -> bytes:
+    d = dict(conv_states)
+    if hb_at is not None:
+        d[_HB_AT] = hb_at
+    return pickle.dumps(d, protocol=5)
+
+
+def _buffered_state(turns, last_emitted=0):
+    buf = pd.DataFrame(
+        {
+            "turn_idx": pd.Series(turns, dtype="int64"),
+            "role": ["user"] * len(turns),
+            "text": [f"t{t}" for t in turns],
+            "tool": [None] * len(turns),
+            "ts_us": pd.Series([1000 * t for t in turns], dtype="int64"),
+        }
+    )
+    return _conv_to_tuple(core.OrderedState(last_emitted=last_emitted, buffer=buf))
+
+
+def _collect(frames):
+    data, status = [], []
+    for f in frames:
+        data.extend(
+            (c, int(t))
+            for c, t, rt in zip(f["conv_id"], f["turn_idx"], f["row_type"])
+            if rt == "data"
+        )
+        status.extend(c for c, rt in zip(f["conv_id"], f["row_type"]) if rt == "status")
+    return data, status
+
+
+def test_ttl_eviction_never_drops_capped_drain_remainder():
+    """Finding 1: a TTL-eligible key whose heartbeat drain just EMITTED rows
+    must not be evicted — the capped remainder would be lost."""
+    cfg = OrderedStreamConfig(
+        status_heartbeat_ms=1000, max_emit_per_batch=1, evict_idle_after_heartbeats=1
+    )
+    func = make_sharded_func(cfg)
+    state = _FakeState(_state_with({"cA": _buffered_state([1, 2])}), timed_out=True)
+    emitted = []
+    for _ in range(4):
+        if not state.exists:
+            break
+        data, _ = _collect(func((0,), iter([]), state))
+        emitted.extend(t for _, t in data)
+        state.hasTimedOut = True
+    assert emitted == [1, 2]  # nothing dropped
+    assert not state.exists  # evicted only after the drain completed
+
+
+def test_busy_shard_still_heartbeats_idle_keys():
+    """Finding 2: arrivals for key B must not starve co-sharded idle key A of
+    heartbeat statuses/TTL (per-key timer semantics of the classic engine)."""
+    cfg = OrderedStreamConfig(status_heartbeat_ms=50, emit_status_every_batch=False)
+    func = make_sharded_func(cfg)
+    # A idle with a gap (buffered turn 2); last sweep long ago
+    blob = _state_with({"cA": _buffered_state([2])}, hb_at=_time.time() - 10.0)
+    state = _FakeState(blob)
+    batch = _shard_batch_rows([("cB", 1)])
+    _, statuses = _collect(func((0,), iter([batch]), state))
+    assert "cA" in statuses  # idle key got its heartbeat despite B's arrival
+
+
+def _shard_batch_rows(conv_turns):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    n = len(conv_turns)
+    return pd.DataFrame(
+        {
+            "conv_id": [c for c, _ in conv_turns],
+            "turn_idx": pd.Series([t for _, t in conv_turns], dtype="int32"),
+            "role": ["user"] * n,
+            "text": [f"t{t}" for _, t in conv_turns],
+            "tool": [None] * n,
+            "ts": [t0 + timedelta(seconds=t) for _, t in conv_turns],
+        }
+    )

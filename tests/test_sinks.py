@@ -58,6 +58,7 @@ def test_row_level_dlq_quarantines_only_poison_rows(spark, tmp_path):
         ("c1", 2, "data", "world"),
         (None, 3, "data", "poison: null key"),
         ("c1", None, "status", None),
+        ("c1", 4, None, "poison: null row_type (three-valued isin trap)"),
     ]
     batch = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, row_type string, text string"
@@ -65,7 +66,7 @@ def test_row_level_dlq_quarantines_only_poison_rows(spark, tmp_path):
     cfg = SinkConfig(data_path=str(tmp_path / "data"), dlq_path=str(tmp_path / "dlq"))
     split_sink(cfg)(batch, 5)
     dlq = spark.read.parquet(str(tmp_path / "dlq" / "epoch=5")).toPandas()
-    assert sorted(dlq["dlq_error"]) == ["bad_turn_idx", "null_key"]
+    assert sorted(dlq["dlq_error"]) == ["bad_row_type", "bad_turn_idx", "null_key"]
     sunk = spark.read.parquet(str(tmp_path / "data" / "epoch=5"))
     assert sunk.count() == 3
     assert "dlq_error" not in sunk.columns
