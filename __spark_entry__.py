@@ -341,6 +341,30 @@ def _q_user_assistant(spark, sf_dir):
     return A.user_assistant_pairs(derive_transcripts(spark, sf_dir))
 
 
+def _q_first_match_stream(spark, sf_dir):
+    """The ACTUAL streaming interval join + foreachBatch first-match MERGE
+    (N5 streaming form) run to completion over staged transcripts; the
+    oracle is the same SQL as the batch user_assistant_pairs — the two forms
+    are row-identical by construction (associative-min MERGE)."""
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        read_first_match,
+        start_first_match_join_pipeline,
+    )
+
+    stage = tempfile.mkdtemp(prefix="fm-src-")
+    derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    out = tempfile.mkdtemp(prefix="fm-out-")
+    ck = tempfile.mkdtemp(prefix="fm-ck-")
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    q = start_first_match_join_pipeline(
+        src, out, ck, horizon_minutes=10, watermark="365 days"
+    )
+    q.processAllAvailable()
+    q.stop()
+    return read_first_match(spark, out)
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.dedup_exact(docs)
@@ -524,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_turn_rate": _q_sliding,
         "session_windows": _q_session,
         "user_assistant_pairs": _q_user_assistant,
+        "first_match_stream": _q_first_match_stream,
         "role_rollup": _q_role_rollup,
         "trailing_avg": _q_trailing_avg,
         "latest_conversation": _q_latest_conversation,
@@ -647,7 +672,28 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY conv_id, sid
             """
         ),
+        # same oracle serves the batch form AND the streaming-join +
+        # first-match-MERGE form (row-identical by construction)
         "user_assistant_pairs": _with_transcripts(
+            """
+            , u AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'user')
+            , a AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'assistant')
+            , j AS (
+              SELECT u.conv_id,
+                     u.turn_idx AS user_turn_idx, a.turn_idx AS assistant_turn_idx,
+                     u.ts AS user_ts, a.ts AS assistant_ts,
+                     row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                                        ORDER BY a.ts, a.turn_idx) AS rn
+              FROM u JOIN a ON u.conv_id = a.conv_id
+                           AND a.ts >= u.ts
+                           AND a.ts < u.ts + INTERVAL '10 minutes'
+                           AND a.turn_idx > u.turn_idx
+            )
+            SELECT conv_id, user_turn_idx, assistant_turn_idx, user_ts, assistant_ts
+            FROM j WHERE rn = 1
+            """
+        ),
+"first_match_stream": _with_transcripts(
             """
             , u AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'user')
             , a AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'assistant')
