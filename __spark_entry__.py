@@ -365,6 +365,51 @@ def _q_first_match_stream(spark, sf_dir):
     return read_first_match(spark, out)
 
 
+def _stream_agg_complete(spark, sf_dir, build, name: str):
+    """Run a streaming windowed aggregation to completion in COMPLETE output
+    mode (the memory table then holds the full aggregate — no watermark
+    flush dance needed for a bounded driver check) and return it."""
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+
+    stage = tempfile.mkdtemp(prefix=f"{name}-src-")
+    derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    q = (
+        build(src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _q_tumbling_stream(spark, sf_dir):
+    """N1 STREAMING form (windowed agg over readStream, complete mode) —
+    same exact oracle as the batch tumbling_tool_counts."""
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_tumbling_tool_counts,
+    )
+
+    return _stream_agg_complete(
+        spark, sf_dir, stream_tumbling_tool_counts, "tumbling_stream_out"
+    )
+
+
+def _q_session_stream(spark, sf_dir):
+    """N3 STREAMING form (session_window over readStream, complete mode) —
+    same exact oracle as the batch session_windows."""
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_session_windows,
+    )
+
+    return _stream_agg_complete(
+        spark, sf_dir, stream_session_windows, "session_stream_out"
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.dedup_exact(docs)
@@ -545,8 +590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_rollup": _q_completion_rollup,
         "latest_turns_per_key": _q_latest_turns,
         "tumbling_tool_counts": _q_tumbling,
+        "tumbling_stream": _q_tumbling_stream,
         "sliding_turn_rate": _q_sliding,
         "session_windows": _q_session,
+        "session_stream": _q_session_stream,
         "user_assistant_pairs": _q_user_assistant,
         "first_match_stream": _q_first_match_stream,
         "role_rollup": _q_role_rollup,
@@ -642,6 +689,16 @@ def oracle_sql() -> dict[str, str]:
             FROM transcripts GROUP BY 1, 2
             """
         ),
+"tumbling_stream": _with_transcripts(
+            """
+            SELECT conv_id,
+                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+                       AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls
+            FROM transcripts GROUP BY 1, 2
+            """
+        ),
         "sliding_turn_rate": _with_transcripts(
             """
             , slid AS (
@@ -655,6 +712,24 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "session_windows": _with_transcripts(
+            """
+            , s AS (
+              SELECT conv_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ), g AS (
+              SELECT conv_id, ts,
+                     sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT conv_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM g GROUP BY conv_id, sid
+            """
+        ),
+"session_stream": _with_transcripts(
             """
             , s AS (
               SELECT conv_id, ts,
