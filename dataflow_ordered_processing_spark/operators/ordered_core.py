@@ -51,28 +51,34 @@ def ts_to_us(s: pd.Series) -> pd.Series:
     return s.astype("datetime64[us]").astype("int64")
 
 
-def default_is_last(pdf: pd.DataFrame) -> np.ndarray:
+def _col(obj, name: str) -> np.ndarray:
+    """Column accessor that serves both pandas frames and dict-of-arrays."""
+    c = obj[name]
+    return c.to_numpy(copy=False) if hasattr(c, "to_numpy") else c
+
+
+def default_is_last(pdf) -> np.ndarray:
     """lastContractMessage analog: sentinel final turn (FIXTURES.md §1)."""
-    roles = pdf["role"].to_numpy(copy=False)
-    texts = pdf["text"].to_numpy(copy=False)
+    roles = _col(pdf, "role")
+    texts = _col(pdf, "text")
     return (roles == END_ROLE) & (texts == END_TEXT)
 
 
-# Shared immutable empty buffer: constructing a 5-column empty DataFrame per
-# state rehydration costs ~1 ms/group; apply_batch only ever REASSIGNS
-# state.buffer, never mutates it in place, so sharing is safe.
-_EMPTY_BUFFER = pd.DataFrame(
-    {
-        "turn_idx": pd.Series(dtype="int64"),
-        "role": pd.Series(dtype="object"),
-        "text": pd.Series(dtype="object"),
-        "tool": pd.Series(dtype="object"),
-        "ts_us": pd.Series(dtype="int64"),
-    }
-)
+# Shared immutable empty buffer. The buffer is a DICT of numpy arrays (not a
+# DataFrame): per-group DataFrame construction/access dominated the sharded
+# engine's profile (15k frame builds + 114k __getitem__ per 10 batches);
+# apply_batch only ever REASSIGNS state.buffer, never mutates it in place,
+# so sharing is safe.
+_EMPTY_BUFFER: dict[str, np.ndarray] = {
+    "turn_idx": np.empty(0, dtype="int64"),
+    "role": np.empty(0, dtype=object),
+    "text": np.empty(0, dtype=object),
+    "tool": np.empty(0, dtype=object),
+    "ts_us": np.empty(0, dtype="int64"),
+}
 
 
-def _empty_buffer() -> pd.DataFrame:
+def _empty_buffer() -> dict[str, np.ndarray]:
     return _EMPTY_BUFFER
 
 
@@ -84,7 +90,11 @@ class OrderedState:
     "depth" accumulator — the transcript analog of the reference's
     order-book state machine whose mutate()/produceResult() emits a derived
     MarketDepth snapshot per in-order event (OrderBookBuilder.java:24-141):
-    every emitted turn carries the running conversation aggregate."""
+    every emitted turn carries the running conversation aggregate.
+
+    ``buffer`` is a dict of numpy column arrays (BUF_COLS), sorted by
+    turn_idx; a pandas DataFrame is also accepted on input for convenience
+    (converted lazily by apply_batch)."""
 
     last_emitted: int = INITIAL_TURN_IDX - 1
     received_count: int = 0
@@ -96,19 +106,21 @@ class OrderedState:
     n_tool: int = 0
     chars: int = 0
     idle_heartbeats: int = 0  # timer firings since last arrival (TTL eviction)
-    buffer: pd.DataFrame = field(default_factory=_empty_buffer)
+    buffer: dict = field(default_factory=_empty_buffer)
 
     @property
     def buffered_count(self) -> int:
-        return len(self.buffer)
+        return len(_col(self.buffer, "turn_idx"))
 
     @property
     def earliest_buffered(self) -> int | None:
-        return int(self.buffer["turn_idx"].iloc[0]) if len(self.buffer) else None
+        t = _col(self.buffer, "turn_idx")
+        return int(t[0]) if len(t) else None
 
     @property
     def latest_buffered(self) -> int | None:
-        return int(self.buffer["turn_idx"].iloc[-1]) if len(self.buffer) else None
+        t = _col(self.buffer, "turn_idx")
+        return int(t[-1]) if len(t) else None
 
     @property
     def complete(self) -> bool:
@@ -118,26 +130,31 @@ class OrderedState:
 
 def apply_batch(
     state: OrderedState,
-    batch: pd.DataFrame,
+    batch,
     is_last: IsLastFn = default_is_last,
     max_emit: int | None = None,
-) -> pd.DataFrame:
+    as_arrays: bool = False,
+):
     """Feed one arrival batch for one key; mutate state; return emitted rows.
 
-    ``batch`` columns: BUF_COLS. Emitted rows come back in strict turn_idx
-    order with an ``emit_seq`` column (1-based per-key emission ordinal).
-    ``max_emit`` is the O9 safety valve (maxOutputElementsPerBundle analog,
+    ``batch`` columns: BUF_COLS — either a pandas DataFrame or a dict of
+    numpy arrays (the sharded engine's zero-pandas hot path). Emitted rows
+    come back in strict turn_idx order with an ``emit_seq`` column (1-based
+    per-key emission ordinal) — as a DataFrame by default, or as a dict of
+    arrays with ``as_arrays=True``. ``max_emit`` is the O9 safety valve
+    (maxOutputElementsPerBundle analog,
     OrderBookProcessingPipeline.java:85-89): a capped drain leaves the rest
     contiguous in the buffer for the next trigger.
     """
-    n_in = len(batch)
+    is_df = isinstance(batch, pd.DataFrame)
+    n_in = len(batch) if is_df else len(_col(batch, "turn_idx"))
     state.received_count += n_in
 
     # Work on bare numpy arrays: per-group latency IS the engine's streaming
     # throughput ceiling (one invocation per key per micro-batch), so the hot
     # path avoids intermediate DataFrames entirely.
     buf = state.buffer
-    n_buf = len(buf)
+    n_buf = len(_col(buf, "turn_idx"))
     if n_in:
         # Last-event detection happens on ARRIVAL (even if the event buffers),
         # matching OrderedProcessingStatus.lastEventReceived semantics.
@@ -145,23 +162,19 @@ def apply_batch(
             state.last_event_received = True
         # ts_us may be precomputed by the caller; derive it otherwise
         # (avoids a full-DataFrame .assign copy in the streaming hot path)
-        batch_cols = {
-            c: batch[c].to_numpy(copy=False) for c in ("turn_idx", "role", "text", "tool")
-        }
+        batch_cols = {c: _col(batch, c) for c in ("turn_idx", "role", "text", "tool")}
+        has_ts_us = ("ts_us" in batch.columns) if is_df else ("ts_us" in batch)
         batch_cols["ts_us"] = (
-            batch["ts_us"].to_numpy(copy=False)
-            if "ts_us" in batch.columns
-            else ts_to_us(batch["ts"]).to_numpy()
+            _col(batch, "ts_us") if has_ts_us else ts_to_us(batch["ts"]).to_numpy()
         )
         if n_buf:
             cols = {
-                c: np.concatenate([buf[c].to_numpy(copy=False), batch_cols[c]])
-                for c in BUF_COLS
+                c: np.concatenate([_col(buf, c), batch_cols[c]]) for c in BUF_COLS
             }
         else:
             cols = batch_cols
     else:
-        cols = {c: buf[c].to_numpy(copy=False) for c in BUF_COLS}
+        cols = {c: _col(buf, c) for c in BUF_COLS}
 
     idx = cols["turn_idx"].astype(np.int64, copy=False)
 
@@ -192,7 +205,7 @@ def apply_batch(
     emitted_cols = {c: cols[c][emit_ix] for c in BUF_COLS}
     rest_ix = keep[n_emit:]
     if len(rest_ix):
-        state.buffer = pd.DataFrame({c: cols[c][rest_ix] for c in BUF_COLS})
+        state.buffer = {c: cols[c][rest_ix] for c in BUF_COLS}
     else:
         state.buffer = _EMPTY_BUFFER
 
@@ -223,6 +236,8 @@ def apply_batch(
         state.chars = int(emitted_cols["chars_cum"][-1])
         state.last_emitted = int(kept_idx[n_emit - 1])
     state.result_count += n_emit
+    if as_arrays:
+        return emitted_cols
     return pd.DataFrame(emitted_cols, copy=False)
 
 

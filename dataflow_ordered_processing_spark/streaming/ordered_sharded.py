@@ -67,14 +67,14 @@ def _conv_to_tuple(st: core.OrderedState) -> tuple:
         st.n_tool,
         st.chars,
         st.idle_heartbeats,
-        {c: buf[c].to_numpy() for c in core.BUF_COLS} if len(buf) else None,
+        {c: core._col(buf, c) for c in core.BUF_COLS}
+        if len(core._col(buf, "turn_idx"))
+        else None,
     )
 
 
 def _conv_from_tuple(t: tuple) -> core.OrderedState:
-    buf = (
-        pd.DataFrame(t[10], copy=False) if t[10] is not None else core._EMPTY_BUFFER
-    )
+    buf = t[10] if t[10] is not None else core._EMPTY_BUFFER
     return core.OrderedState(
         last_emitted=t[0],
         received_count=t[1],
@@ -161,12 +161,15 @@ def make_sharded_func(cfg: OrderedStreamConfig):
         data_parts: list[dict] = []
         statuses: list[dict] = []
 
-        def run_conv(conv_id: str, st: core.OrderedState, batch: pd.DataFrame) -> int:
-            emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
-            if len(emitted):
-                data_convs.append(np.full(len(emitted), conv_id, dtype=object))
-                data_parts.append({c: emitted[c].to_numpy(copy=False) for c in emitted})
-            return len(emitted)
+        def run_conv(conv_id: str, st: core.OrderedState, batch) -> int:
+            emitted = core.apply_batch(
+                st, batch, max_emit=cfg.max_emit_per_batch, as_arrays=True
+            )
+            n = len(emitted["turn_idx"])
+            if n:
+                data_convs.append(np.full(n, conv_id, dtype=object))
+                data_parts.append(emitted)
+            return n
 
         def heartbeat_sweep(skip: set) -> None:
             """Per-conversation heartbeat: drain capped remainders, emit a
@@ -198,10 +201,30 @@ def make_sharded_func(cfg: OrderedStreamConfig):
         else:
             frames = list(pdfs)
             batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
-            # one vectorized ts conversion for the WHOLE shard batch
-            batch = batch.assign(ts_us=core.ts_to_us(batch["ts"]))
+            # Pandas exits here: pull the shard batch into numpy columns ONCE
+            # (incl. one vectorized ts conversion), segment by conv_id with a
+            # stable argsort (within-conv arrival order preserved — the
+            # duplicate-winner rule depends on it), and slice raw arrays per
+            # conversation. Per-group pandas construction/access dominated
+            # the profile (~0.6 ms/conv); array slicing is ~20 µs.
+            cols = {
+                c: batch[c].to_numpy(copy=False)
+                for c in ("conv_id", "turn_idx", "role", "text", "tool")
+            }
+            cols["ts_us"] = core.ts_to_us(batch["ts"]).to_numpy()
+            conv_arr = cols["conv_id"]
+            order = np.argsort(conv_arr, kind="stable")
+            sorted_conv = conv_arr[order]
+            n_rows = len(sorted_conv)
+            bounds = [0] + list(np.flatnonzero(sorted_conv[1:] != sorted_conv[:-1]) + 1) + [n_rows]
             arrived = set()
-            for conv_id, g in batch.groupby("conv_id", sort=False):
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                if lo == hi:
+                    continue
+                seg = order[lo:hi]
+                conv_id = sorted_conv[lo]
+                g = {c: cols[c][seg] for c in core.BUF_COLS}
                 arrived.add(conv_id)
                 t = states.get(conv_id)
                 st = (

@@ -93,25 +93,23 @@ def _state_to_tuple(st: core.OrderedState) -> tuple:
         st.n_assistant,
         st.n_tool,
         st.chars,
-        buf["turn_idx"].tolist(),
-        buf["role"].tolist(),
-        buf["text"].tolist(),
-        buf["tool"].tolist(),
-        buf["ts_us"].tolist(),
+        core._col(buf, "turn_idx").tolist(),
+        core._col(buf, "role").tolist(),
+        core._col(buf, "text").tolist(),
+        core._col(buf, "tool").tolist(),
+        core._col(buf, "ts_us").tolist(),
         st.idle_heartbeats,
     )
 
 
 def _state_from_tuple(t: tuple) -> core.OrderedState:
-    buf = pd.DataFrame(
-        {
-            "turn_idx": pd.Series(list(t[9] or []), dtype="int64"),
-            "role": pd.Series(list(t[10] or []), dtype="object"),
-            "text": pd.Series(list(t[11] or []), dtype="object"),
-            "tool": pd.Series(list(t[12] or []), dtype="object"),
-            "ts_us": pd.Series(list(t[13] or []), dtype="int64"),
-        }
-    )
+    buf = {
+        "turn_idx": np.asarray(list(t[9] or []), dtype="int64"),
+        "role": np.asarray(list(t[10] or []), dtype=object),
+        "text": np.asarray(list(t[11] or []), dtype=object),
+        "tool": np.asarray(list(t[12] or []), dtype=object),
+        "ts_us": np.asarray(list(t[13] or []), dtype="int64"),
+    }
     return core.OrderedState(
         last_emitted=int(t[0]),
         received_count=int(t[1]),
@@ -187,7 +185,7 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             # invocation for an idle key, so drain here too — otherwise the
             # remainder never reaches the sink
             emitted = core.apply_batch(
-                st, st.buffer.head(0), max_emit=cfg.max_emit_per_batch
+                st, core._EMPTY_BUFFER, max_emit=cfg.max_emit_per_batch
             )
             status = core.status_dict(conv_id, st)
             del status["conv_id"]
