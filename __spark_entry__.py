@@ -869,8 +869,10 @@ def _redact_pii_oracle() -> str:
     red = "text"
     count_cols = []
     for name, pat in PII_PATTERNS:
+        # mirror the Spark side exactly: count on the stage INPUT (the
+        # progressively-redacted string), so n_<kind> == inserted <KIND> tokens
         count_cols.append(
-            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS BIGINT) AS n_{name}"
         )
         red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
     return (

@@ -56,8 +56,13 @@ def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
     redacted = F.col(col)
     counts = []
     for name, pat in PII_PATTERNS:
+        # count on THIS STAGE'S INPUT (the progressively-redacted string),
+        # not the original text: when patterns overlap (e.g. 'a@1.2.3.4.net'
+        # is consumed whole by the email replace), counting the original
+        # would report an <IPV4> that was never inserted — n_<kind> must
+        # equal the number of <KIND> tokens actually in `redacted`
         counts.append(
-            F.regexp_count(F.col(col), F.lit(pat)).cast("long").alias(f"n_{name}")
+            F.regexp_count(redacted, F.lit(pat)).cast("long").alias(f"n_{name}")
         )
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return df.select("doc_id", redacted.alias("redacted"), *counts)

@@ -4,11 +4,15 @@ from .sinks import split_sink, start_ordered_pipeline
 from .metrics import BufferMetricsListener
 
 
-def build_ordered_stream(source, cfg=None, engine="classic", n_shards=256):
+def build_ordered_stream(source, cfg=None, engine="classic", n_shards=None):
     """Single engine-dispatch point (used by the pipeline entrypoint, the
     sink wiring, and the test harness): 'classic' = state per conv_id,
-    'sharded' = state per hash shard (same output, ~3x throughput)."""
+    'sharded' = state per hash shard (same output, ~3x throughput).
+    n_shards=None → 8 × defaultParallelism (measured sweet spot, see
+    BENCH/BASELINE.md shard sweep)."""
     if engine == "sharded":
+        if n_shards is None:
+            n_shards = 8 * source.sparkSession.sparkContext.defaultParallelism
         return ordered_stream_sharded(source, cfg, n_shards=n_shards)
     if engine == "classic":
         return ordered_stream(source, cfg)

@@ -24,6 +24,21 @@ variant is strictly faster; a pathological shard where huge buffers sit idle
 for hours would favor the classic per-key operator whose untouched keys cost
 nothing. n_shards should track total cores across the cluster (shards are
 the parallelism unit here — at 1000 executors give it 8-32k shards).
+``start_ordered_pipeline(n_shards=None)`` defaults to
+8 × defaultParallelism and pins the choice in a checkpoint marker (resuming
+with a different n_shards would silently re-key conversations to different
+shards, stranding their state — the marker fails fast instead).
+
+State growth: COMPLETED conversations shrink to a compact 9-int tombstone in
+a side map (``_TOMBS``) that heartbeat sweeps never iterate — sweep cost is
+O(pending conversations), and the blob grows by ~100 bytes per completed
+conversation, retained only to discard+count post-completion re-delivery.
+With ``evict_idle_after_heartbeats`` set, tombstones age out silently after
+that many sweeps (there is no unresolved gap to report), bounding the blob
+at O(pending + recently-completed); without a TTL they accumulate like any
+keyed state store's kept keys — set a TTL on long-running streams, or
+``cleanup_on_complete=True`` to skip tombstones entirely and lean on the
+sink's merge_on_key for post-completion duplicates.
 
 Reference semantics: same contract as ordered_stream.py
 (OrderedEventProcessor / OrderBookProcessingPipeline.java:107-120 dual
@@ -143,10 +158,41 @@ def _shard_status_frame(statuses: list[dict]) -> pd.DataFrame:
     )
 
 
-# Reserved (non-string) key inside the shard state dict holding the wall
-# clock of the last heartbeat sweep — conv_id keys are strings, so it can
-# never collide.
-_HB_AT = 0
+# Reserved (non-string) keys inside the shard state dict — conv_id keys are
+# strings, so they can never collide.
+_HB_AT = 0  # wall clock of the last heartbeat sweep
+_TOMBS = 1  # side map {conv_id: tombstone} of COMPLETED conversations
+
+
+def _tomb_from_state(st: core.OrderedState) -> tuple:
+    """Compact tombstone for a completed conversation: cursor + frozen
+    counters (no buffer — it's empty by definition of complete), plus the
+    idle-sweep age for TTL aging. ~100 bytes pickled vs the full tuple."""
+    return (
+        st.last_emitted,
+        st.received_count,
+        st.result_count,
+        st.duplicate_count,
+        st.n_user,
+        st.n_assistant,
+        st.n_tool,
+        st.chars,
+        0,  # sweeps since tombstoned
+    )
+
+
+def _state_from_tomb(t: tuple) -> core.OrderedState:
+    return core.OrderedState(
+        last_emitted=t[0],
+        received_count=t[1],
+        result_count=t[2],
+        duplicate_count=t[3],
+        last_event_received=True,
+        n_user=t[4],
+        n_assistant=t[5],
+        n_tool=t[6],
+        chars=t[7],
+    )
 
 
 def make_sharded_func(cfg: OrderedStreamConfig):
@@ -175,10 +221,14 @@ def make_sharded_func(cfg: OrderedStreamConfig):
             """Per-conversation heartbeat: drain capped remainders, emit a
             status, TTL-evict idle gapped keys — same per-key semantics as
             the classic engine's timer. `skip` = convs that just received
-            arrivals (their idle clock was reset this batch)."""
+            arrivals (their idle clock was reset this batch). Tombstones
+            (completed conversations) are NOT swept — their counters are
+            frozen, so a heartbeat status would only repeat the completion
+            snapshot already emitted on the final arrival; under a TTL they
+            age out silently below (no unresolved gap to report)."""
             for conv_id in list(states):
-                if conv_id == _HB_AT or conv_id in skip:
-                    continue
+                if isinstance(conv_id, int) or conv_id in skip:
+                    continue  # reserved keys (_HB_AT, _TOMBS) + fresh arrivals
                 st = _conv_from_tuple(states[conv_id])
                 st.idle_heartbeats += 1
                 n_emitted = run_conv(conv_id, st, _EMPTY_BATCH)
@@ -192,8 +242,23 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 # engine guard: ordered_stream.py `evict and not len(emitted)`)
                 if evict and n_emitted == 0:
                     del states[conv_id]
+                elif st.complete:
+                    # a capped drain just finished the conversation
+                    states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
+                    del states[conv_id]
                 else:
                     states[conv_id] = _conv_to_tuple(st)
+            if cfg.evict_idle_after_heartbeats is not None and _TOMBS in states:
+                tombs = states[_TOMBS]
+                for conv_id in list(tombs):
+                    if conv_id in skip:
+                        continue
+                    t = tombs[conv_id]
+                    age = t[8] + 1
+                    if age >= cfg.evict_idle_after_heartbeats:
+                        del tombs[conv_id]  # silent: counters frozen, no gap
+                    else:
+                        tombs[conv_id] = (*t[:8], age)
             states[_HB_AT] = time.time()
 
         if state.hasTimedOut:
@@ -227,17 +292,25 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 g = {c: cols[c][seg] for c in core.BUF_COLS}
                 arrived.add(conv_id)
                 t = states.get(conv_id)
-                st = (
-                    _conv_from_tuple(t)
-                    if t is not None
-                    else core.OrderedState(last_emitted=cfg.initial_turn_idx - 1)
-                )
+                if t is not None:
+                    st = _conv_from_tuple(t)
+                else:
+                    tomb = states.get(_TOMBS, {}).get(conv_id)
+                    st = (
+                        _state_from_tomb(tomb)
+                        if tomb is not None
+                        else core.OrderedState(last_emitted=cfg.initial_turn_idx - 1)
+                    )
                 run_conv(conv_id, st, g)
                 st.idle_heartbeats = 0
                 if cfg.emit_status_every_batch:
                     statuses.append(core.status_dict(conv_id, st))
-                if st.complete and cfg.cleanup_on_complete:
+                if st.complete:
                     states.pop(conv_id, None)
+                    if cfg.cleanup_on_complete:
+                        states.get(_TOMBS, {}).pop(conv_id, None)
+                    else:
+                        states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
                 else:
                     states[conv_id] = _conv_to_tuple(st)
             # A busy shard's ProcessingTimeTimeout never fires (any arrival
@@ -252,10 +325,17 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 elif (time.time() - hb_at) * 1000.0 >= cfg.status_heartbeat_ms:
                     heartbeat_sweep(skip=arrived)
 
-        real_keys = states.keys() - {_HB_AT}
-        if real_keys:
+        if _TOMBS in states and not states[_TOMBS]:
+            del states[_TOMBS]
+        active_keys = states.keys() - {_HB_AT, _TOMBS}
+        if active_keys or states.get(_TOMBS):
             state.update((pickle.dumps(states, protocol=5),))
-            if cfg.status_heartbeat_ms:
+            # a shard holding ONLY tombstones needs a timer iff a TTL will
+            # eventually age them out — otherwise sweeps would fire forever
+            # with nothing to do
+            if cfg.status_heartbeat_ms and (
+                active_keys or cfg.evict_idle_after_heartbeats is not None
+            ):
                 state.setTimeoutDuration(cfg.status_heartbeat_ms)
         else:
             state.remove()

@@ -187,24 +187,35 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             emitted = core.apply_batch(
                 st, core._EMPTY_BUFFER, max_emit=cfg.max_emit_per_batch
             )
-            status = core.status_dict(conv_id, st)
-            del status["conv_id"]
+            # A COMPLETED key (final seen, buffer drained) is a tombstone:
+            # its counters are frozen, so a heartbeat status would only
+            # repeat the completion snapshot already emitted on the final
+            # arrival — emit nothing, and under a TTL evict silently (there
+            # is no unresolved gap to report). Mirrors the sharded engine.
+            is_tomb = st.complete and not len(emitted)
+            status = None
+            if not is_tomb:
+                status = core.status_dict(conv_id, st)
+                del status["conv_id"]
             evict = (
                 cfg.evict_idle_after_heartbeats is not None
                 and st.idle_heartbeats >= cfg.evict_idle_after_heartbeats
             )
             if evict and not len(emitted):
                 # state TTL (SURVEY §7): gap never closed — drop pending
-                # turns, free the state; the emitted status is the tombstone
-                # record (gap_report picks it up downstream)
+                # turns, free the state; for gapped keys the emitted status
+                # is the tombstone record (gap_report picks it up downstream)
                 state.remove()
             else:
                 state.update(_state_to_tuple(st))
-                if cfg.status_heartbeat_ms:
+                if cfg.status_heartbeat_ms and (
+                    not st.complete or cfg.evict_idle_after_heartbeats is not None
+                ):
                     state.setTimeoutDuration(cfg.status_heartbeat_ms)
             if len(emitted):
                 yield _data_frame(conv_id, emitted)
-            yield _status_frame(conv_id, status)
+            if status is not None:
+                yield _status_frame(conv_id, status)
             return
 
         st = _state_from_tuple(tuple(state.get)) if state.exists else core.OrderedState(
@@ -225,7 +236,12 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             state.remove()  # O4: eager cleanup on last event (examiner contract)
         else:
             state.update(_state_to_tuple(st))
-            if cfg.status_heartbeat_ms:
+            # completed keys are frozen tombstones — re-arm the timer only
+            # when a TTL exists to eventually evict them; otherwise heartbeat
+            # timers would fire (and emit unchanged statuses) forever
+            if cfg.status_heartbeat_ms and (
+                not st.complete or cfg.evict_idle_after_heartbeats is not None
+            ):
                 state.setTimeoutDuration(cfg.status_heartbeat_ms)
 
         if len(emitted):

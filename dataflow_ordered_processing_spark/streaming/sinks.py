@@ -165,7 +165,17 @@ def split_sink(cfg: SinkConfig):
 
 
 def epoch_dirs(base: str) -> list[str]:
-    """Committed epoch directories under an epoch sink, in epoch order.
+    """COMMITTED epoch directories under an epoch sink, in epoch order.
+
+    Committed == contains the `_SUCCESS` marker — the same criterion
+    `_write_idempotent` uses to decide an epoch needs no rewrite. Filtering
+    here matters for exactly-once: a crash mid-write of epoch N leaves a
+    partial directory without `_SUCCESS`; if reads saw those rows, a
+    merge_on_key replay would anti-join them out of the fresh batch and then
+    overwrite the partial epoch with only the remainder, permanently losing
+    the rows that had landed pre-crash. Uncommitted epochs must stay
+    invisible until their overwrite completes.
+
     Enumerated explicitly rather than passing an `epoch=*` glob to
     spark.read: Spark probes the literal glob string for streaming-sink
     metadata and logs a WARN with a full Java stack each time
@@ -176,7 +186,9 @@ def epoch_dirs(base: str) -> list[str]:
     out = [
         os.path.join(base, d)
         for d in os.listdir(base)
-        if d.startswith("epoch=") and os.path.isdir(os.path.join(base, d))
+        if d.startswith("epoch=")
+        and os.path.isdir(os.path.join(base, d))
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
     ]
     return sorted(out, key=lambda p: int(p.rsplit("=", 1)[1]))
 
@@ -227,22 +239,64 @@ def console_stream(df: DataFrame, n: int = 20):
     ).start()
 
 
+def _check_engine_marker(checkpoint: str, engine: str, n_shards: int | None) -> None:
+    """Pin (engine, n_shards) to the checkpoint on first start; fail fast on
+    mismatch at resume. n_shards is baked into the sharded engine's state
+    key (pmod(xxhash64(conv_id), n_shards)) — resuming with a different
+    value silently re-keys conversations to different shards, stranding
+    their state (cursor, dedup counters, pending buffer): already-emitted
+    turns would re-emit with fresh emit_seq and buffered turns would drop.
+    Same for switching engines (state schemas are incompatible). A marker
+    file next to the checkpoint makes the mismatch an error, not data loss.
+    (Local-fs marker: on HDFS/S3 checkpoints, pin via job config instead.)"""
+    path = checkpoint.removeprefix("file:")
+    if not os.path.isdir(path):  # first start — checkpoint not created yet
+        os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "_ordered_engine.json")
+    current = {"engine": engine, "n_shards": n_shards if engine == "sharded" else None}
+    if os.path.exists(marker):
+        import json
+
+        with open(marker) as f:
+            prior = json.load(f)
+        if prior != current:
+            raise ValueError(
+                f"checkpoint {checkpoint!r} was written by engine config "
+                f"{prior}, cannot resume with {current}: the sharded state "
+                "key depends on n_shards, so a mismatch strands per-"
+                "conversation state and breaks exactly-once. Use the prior "
+                "config or start a fresh checkpoint."
+            )
+    else:
+        import json
+
+        with open(marker, "w") as f:
+            json.dump(current, f)
+
+
 def start_ordered_pipeline(
     source: DataFrame,
     sink: SinkConfig,
     stream_cfg: OrderedStreamConfig | None = None,
     engine: str = "classic",
-    n_shards: int = 256,
+    n_shards: int | None = None,
 ) -> StreamingQuery:
     """Wire source → ordered processor → dual sink; return the running query.
 
     ``source`` is a streaming DataFrame with TRANSCRIPT_SCHEMA (e.g.
     readStream over an Iceberg/parquet directory of arrival batches).
     ``engine='sharded'`` selects the shard-keyed state variant (same output,
-    ~3× throughput; see ordered_sharded.py).
+    ~3× throughput; see ordered_sharded.py). ``n_shards=None`` resolves to
+    8 × defaultParallelism — the measured sweet spot (~8 shards per core,
+    BENCH/BASELINE.md shard sweep); the choice is pinned in a checkpoint
+    marker and validated on resume.
     """
     from . import build_ordered_stream
 
+    if engine == "sharded" and n_shards is None:
+        n_shards = 8 * source.sparkSession.sparkContext.defaultParallelism
+    if sink.checkpoint:
+        _check_engine_marker(sink.checkpoint, engine, n_shards)
     unified = build_ordered_stream(source, stream_cfg, engine=engine, n_shards=n_shards)
     writer = (
         unified.writeStream.outputMode("append")

@@ -114,8 +114,12 @@ def main() -> int:
     ap.add_argument(
         "--n-shards",
         type=int,
-        default=256,
-        help="shard count for --engine sharded (should track total cores)",
+        default=None,
+        help="shard count for --engine sharded; default 8 x defaultParallelism "
+        "(measured sweet spot). PINNED to the checkpoint on first start: "
+        "n_shards is baked into the state key, so resuming an existing "
+        "checkpoint with a different value is refused (it would strand "
+        "per-conversation state and break exactly-once)",
     )
     args = ap.parse_args()
 
@@ -128,6 +132,7 @@ def main() -> int:
     )
     from dataflow_ordered_processing_spark.streaming.sinks import (
         SinkConfig,
+        _check_engine_marker,
         read_sink,
         split_sink,
     )
@@ -161,7 +166,11 @@ def main() -> int:
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     src = reader.parquet(args.source)
-    unified = build_ordered_stream(src, cfg, engine=args.engine, n_shards=args.n_shards)
+    n_shards = args.n_shards
+    if args.engine == "sharded" and n_shards is None:
+        n_shards = 8 * spark.sparkContext.defaultParallelism
+    _check_engine_marker(args.checkpoint, args.engine, n_shards)
+    unified = build_ordered_stream(src, cfg, engine=args.engine, n_shards=n_shards)
     writer = (
         unified.writeStream.outputMode("append")
         .foreachBatch(split_sink(sink))

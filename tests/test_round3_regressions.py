@@ -1,0 +1,187 @@
+"""Round-3 review findings pinned as regression tests:
+
+  R3-1  resuming a checkpoint with a different engine/n_shards must fail
+        fast (n_shards is baked into the sharded state key — a silent
+        mismatch strands state and breaks exactly-once).
+  R3-2  completed conversations become compact tombstones: excluded from
+        heartbeat sweeps (no frozen-counter status spam), aged out silently
+        under the TTL, late duplicates still discarded AND counted.
+  R3-3  epoch sink reads see only COMMITTED epochs (_SUCCESS marker) — a
+        partial crash-epoch must be invisible to read_sink/merge dedup.
+  R3-4  redact_pii counts reflect insertions actually made on the
+        progressively-redacted string, not independent detections on the
+        original (overlapping patterns: email consuming an IPv4).
+"""
+
+import os
+import pickle
+import time as _time
+
+import pandas as pd
+import pytest
+
+from dataflow_ordered_processing_spark.operators import ordered_core as core
+from dataflow_ordered_processing_spark.streaming import OrderedStreamConfig
+from dataflow_ordered_processing_spark.streaming.ordered_sharded import (
+    _HB_AT,
+    _TOMBS,
+    make_sharded_func,
+)
+from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+    _state_to_tuple,
+    make_ordered_func,
+)
+from dataflow_ordered_processing_spark.streaming.sinks import (
+    _check_engine_marker,
+    epoch_dirs,
+)
+
+from test_ordered_sharded import (  # reuse the fake-state harness
+    _FakeState,
+    _collect,
+    _shard_batch_rows,
+    _state_with,
+)
+
+
+# ---------------------------------------------------------------- R3-1
+
+def test_engine_marker_pins_n_shards(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    _check_engine_marker(ckpt, "sharded", 256)
+    _check_engine_marker(ckpt, "sharded", 256)  # same config resumes fine
+    with pytest.raises(ValueError, match="n_shards"):
+        _check_engine_marker(ckpt, "sharded", 512)
+    with pytest.raises(ValueError):
+        _check_engine_marker(ckpt, "classic", None)
+
+
+def test_engine_marker_classic_ignores_shards(tmp_path):
+    # n_shards is irrelevant to the classic engine — must not trip the marker
+    ckpt = str(tmp_path / "ckpt")
+    _check_engine_marker(ckpt, "classic", 256)
+    _check_engine_marker(ckpt, "classic", 512)
+
+
+# ---------------------------------------------------------------- R3-2
+
+def _completed_conv(state_dict=None):
+    """Run one arrival batch containing a full 3-turn conversation (turn 3 =
+    end sentinel) through the sharded func; return the resulting state."""
+    cfg = OrderedStreamConfig(status_heartbeat_ms=50)
+    func = make_sharded_func(cfg)
+    state = _FakeState(
+        _state_with(state_dict or {}, hb_at=_time.time()), timed_out=False
+    )
+    batch = _shard_batch_rows([("cX", 1), ("cX", 2)])
+    end = _shard_batch_rows([("cX", 3)])
+    end.loc[:, "role"] = core.END_ROLE
+    end.loc[:, "text"] = core.END_TEXT
+    _collect(func((0,), iter([pd.concat([batch, end], ignore_index=True)]), state))
+    return state
+
+
+def test_completed_conv_becomes_tombstone():
+    state = _completed_conv()
+    d = pickle.loads(state.get[0])
+    assert "cX" not in {k for k in d if isinstance(k, str)}
+    assert d[_TOMBS]["cX"][0] == 3  # last_emitted preserved compactly
+
+
+def test_tombstones_excluded_from_heartbeat_sweep():
+    state = _completed_conv()
+    d = pickle.loads(state.get[0])
+    d[_HB_AT] = _time.time() - 10.0  # force a sweep on next invocation
+    state._v = (pickle.dumps(d, protocol=5),)
+    cfg = OrderedStreamConfig(status_heartbeat_ms=50, emit_status_every_batch=False)
+    func = make_sharded_func(cfg)
+    # arrival for an unrelated key triggers the overdue sweep
+    _, statuses = _collect(func((0,), iter([_shard_batch_rows([("cB", 2)])]), state))
+    assert "cX" not in statuses  # frozen tombstone: no heartbeat status
+
+
+def test_tombstone_ttl_evicts_silently():
+    cfg = OrderedStreamConfig(status_heartbeat_ms=50, evict_idle_after_heartbeats=2)
+    func = make_sharded_func(cfg)
+    state = _completed_conv()
+    for _ in range(3):
+        if not state.exists:
+            break
+        state.hasTimedOut = True
+        _, statuses = _collect(func((0,), iter([]), state))
+        assert "cX" not in statuses  # eviction emits no status (no gap)
+    assert not state.exists  # tombstone aged out → shard state freed
+
+
+def test_late_duplicate_after_completion_counted():
+    cfg = OrderedStreamConfig(status_heartbeat_ms=50)
+    func = make_sharded_func(cfg)
+    state = _completed_conv()
+    data, _ = _collect(func((0,), iter([_shard_batch_rows([("cX", 2)])]), state))
+    assert data == []  # re-delivery discarded, not re-emitted
+    d = pickle.loads(state.get[0])
+    tomb = d[_TOMBS]["cX"]
+    assert tomb[1] == 4  # received_count 3 + 1
+    assert tomb[3] == 1  # duplicate_count
+
+
+def test_classic_tombstone_stops_heartbeating():
+    """Classic engine: a completed key must not re-arm its timer (no TTL) and
+    a timer firing on a completed key must emit no status."""
+    cfg = OrderedStreamConfig(status_heartbeat_ms=50)
+    func = make_ordered_func(cfg)
+
+    timer_set = []
+
+    class _KeyState(_FakeState):
+        def setTimeoutDuration(self, ms):
+            timer_set.append(ms)
+
+    st = core.OrderedState(last_emitted=3, last_event_received=True,
+                           received_count=3, result_count=3)
+    state = _KeyState(blob=None)
+    state._v = tuple(_state_to_tuple(st))
+
+    # duplicate arrival to a tombstone: status still emitted (arrival path),
+    # timer NOT re-armed (frozen state, nothing will ever change)
+    batch = _shard_batch_rows([("cX", 2)])
+    frames = list(func(("cX",), iter([batch]), state))
+    assert any((f["row_type"] == "status").any() for f in frames)
+    assert timer_set == []
+
+    # timer firing on a tombstone: silent (no status row, no data)
+    state.hasTimedOut = True
+    assert list(func(("cX",), iter([]), state)) == []
+
+
+# ---------------------------------------------------------------- R3-3
+
+def test_epoch_dirs_skip_uncommitted(tmp_path):
+    base = str(tmp_path / "sink")
+    for e, committed in [(0, True), (1, False), (2, True)]:
+        d = os.path.join(base, f"epoch={e}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("x")
+        if committed:
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+    got = [os.path.basename(p) for p in epoch_dirs(base)]
+    assert got == ["epoch=0", "epoch=2"]  # partial epoch=1 invisible
+
+
+# ---------------------------------------------------------------- R3-4
+
+def test_redact_counts_match_insertions(spark):
+    from dataflow_ordered_processing_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "contact a@1.2.3.4.net or 5.6.7.8"), (2, "x@y.com a@1.2.3.4.net")],
+        ["doc_id", "text"],
+    )
+    got = text.redact_pii(df).toPandas().set_index("doc_id")
+    # doc 1: the email consumes 1.2.3.4 — only the standalone ip counts
+    assert got.loc[1, "n_email"] == 1 and got.loc[1, "n_ipv4"] == 1
+    assert got.loc[1, "redacted"].count("<IPV4>") == got.loc[1, "n_ipv4"]
+    # doc 2: both matches are emails; no <IPV4> token is ever inserted
+    assert got.loc[2, "n_email"] == 2 and got.loc[2, "n_ipv4"] == 0
+    assert "<IPV4>" not in got.loc[2, "redacted"]
