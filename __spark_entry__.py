@@ -70,6 +70,18 @@ def _arrival_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORDERED_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "emit_seq"]
 
+# One staging root for every streaming driver query (arrival parquet, sink
+# dirs, checkpoints). TemporaryDirectory's finalizer removes the whole tree
+# at interpreter exit, so repeated gate runs leave no orphan /tmp dirs.
+_STAGING_ROOT: tempfile.TemporaryDirectory | None = None
+
+
+def _stage_dir(prefix: str) -> str:
+    global _STAGING_ROOT
+    if _STAGING_ROOT is None:
+        _STAGING_ROOT = tempfile.TemporaryDirectory(prefix="spark-graft-stage-")
+    return tempfile.mkdtemp(prefix=prefix + "-", dir=_STAGING_ROOT.name)
+
 _ORDERED_ORACLE = _with_transcripts(
     """
 SELECT conv_id, turn_idx, role, text, tool, ts,
@@ -231,7 +243,7 @@ def _q_ordered_stream(spark, sf_dir):
     from dataflow_ordered_processing_spark.streaming.ordered_stream import split_output
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
 
-    stage = tempfile.mkdtemp(prefix="ordered-src-")
+    stage = _stage_dir("ordered-src")
     _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
     name = "ordered_stream_out"
@@ -257,7 +269,7 @@ def _q_ordered_stream_sharded(spark, sf_dir):
     from dataflow_ordered_processing_spark.streaming.ordered_stream import split_output
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
 
-    stage = tempfile.mkdtemp(prefix="ordered-sharded-src-")
+    stage = _stage_dir("ordered-sharded-src")
     _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
     name = "ordered_sharded_out"
@@ -352,13 +364,17 @@ def _q_first_match_stream(spark, sf_dir):
         start_first_match_join_pipeline,
     )
 
-    stage = tempfile.mkdtemp(prefix="fm-src-")
+    stage = _stage_dir("fm-src")
     derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(stage)
-    out = tempfile.mkdtemp(prefix="fm-out-")
-    ck = tempfile.mkdtemp(prefix="fm-ck-")
+    out = _stage_dir("fm-out")
+    ck = _stage_dir("fm-ck")
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    # watermark >> data span: this is a FINITE staged replay, so no row may
+    # ever be declared late (the oracle sees all of them) — bounded_input
+    # acknowledges the deliberate unbounded state. On a continuous stream the
+    # pipeline refuses such a watermark (production default is 10 minutes).
     q = start_first_match_join_pipeline(
-        src, out, ck, horizon_minutes=10, watermark="365 days"
+        src, out, ck, horizon_minutes=10, watermark="365 days", bounded_input=True
     )
     q.processAllAvailable()
     q.stop()
@@ -371,7 +387,7 @@ def _stream_agg_complete(spark, sf_dir, build, name: str):
     flush dance needed for a bounded driver check) and return it."""
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
 
-    stage = tempfile.mkdtemp(prefix=f"{name}-src-")
+    stage = _stage_dir(f"{name}-src")
     derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(stage)
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
     q = (
@@ -395,6 +411,18 @@ def _q_tumbling_stream(spark, sf_dir):
 
     return _stream_agg_complete(
         spark, sf_dir, stream_tumbling_tool_counts, "tumbling_stream_out"
+    )
+
+
+def _q_sliding_stream(spark, sf_dir):
+    """N2 STREAMING form (sliding windowed agg over readStream, complete
+    mode) — same exact oracle as the batch sliding_turn_rate."""
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_sliding_turn_rate,
+    )
+
+    return _stream_agg_complete(
+        spark, sf_dir, stream_sliding_turn_rate, "sliding_stream_out"
     )
 
 
@@ -434,8 +462,10 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: deterministic synthetic media → mapInPandas
-    decode/resize/frame-sample features (decode stubbed — no imaging libs in
-    this image; rows-only driver check)."""
+    decode/resize/frame-sample features. Audio decode is REAL (stdlib WAV);
+    image/video decode is the deterministic fake (no imaging libs in this
+    image). Every feature is closed-form deterministic, so the oracle is an
+    exact literal-expectation table (see _multimodal_oracle)."""
     from dataflow_ordered_processing_spark.functions import multimodal
 
     media = multimodal.synth_media(spark, n=64)
@@ -592,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_tool_counts": _q_tumbling,
         "tumbling_stream": _q_tumbling_stream,
         "sliding_turn_rate": _q_sliding,
+        "sliding_stream": _q_sliding_stream,
         "session_windows": _q_session,
         "session_stream": _q_session_stream,
         "user_assistant_pairs": _q_user_assistant,
@@ -700,6 +731,18 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "sliding_turn_rate": _with_transcripts(
+            """
+            , slid AS (
+              SELECT make_timestamp(
+                         CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT) * 1000000)
+                         AS window_start
+              FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
+            )
+            SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM slid GROUP BY 1
+            """
+        ),
+        "sliding_stream": _with_transcripts(
             """
             , slid AS (
               SELECT make_timestamp(
@@ -844,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "redact_pii": _redact_pii_oracle(),
+        "multimodal_features": _multimodal_oracle(),
         "minhash_lsh_pairs": _MINHASH_ORACLE,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -878,6 +922,73 @@ def _redact_pii_oracle() -> str:
     return (
         f"SELECT doc_id, {red} AS redacted, {', '.join(count_cols)} FROM documents"
     )
+
+
+def _multimodal_oracle() -> str:
+    """Exact expected-value table for multimodal_features, RE-DERIVED here
+    (not imported from functions/multimodal.py — that would test the module
+    against itself). Every pipeline input is closed-form deterministic:
+
+      - audio (media_id % 3 == 1): a pure sine, f = 110·(1 + i%8) Hz,
+        0.1 s at 16 kHz, quantized to int16 and decoded back /32768 — the
+        WAV round-trip is lossless, so mean/std/rms are computable from the
+        quantized samples directly;
+      - image/video: the fake decoder is seeded RNG
+        (sha256(payload)[:8] → default_rng → uint8 HxWx3), subsampled to a
+        ≤32×32 thumb — reproducible bit-for-bit.
+
+    numpy reductions over identical float64 arrays are bit-identical on
+    driver and workers (same pairwise summation), and repr() doubles
+    round-trip exactly through DuckDB's literal parser, so the driver's
+    value-hash compare is exact. The SQL itself is a VALUES table: what this
+    oracle checks is that the distributed path (createDataFrame → Arrow →
+    mapInPandas → FEATURE_SCHEMA) delivers exactly the closed-form answer."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    rows = []
+    for i in range(64):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "audio":
+            rate, n = 16000, 1600
+            t = _np.arange(n, dtype=_np.float64) / rate
+            f = 110.0 * (1 + i % 8)
+            x = (
+                (0.5 * _np.sin(2 * _np.pi * f * t) * 32767.0)
+                .astype("<i2")
+                .astype(_np.float64)
+                / 32768.0
+            )
+            tw = th = 0
+            frames = 1
+        else:
+            payload = _hl.sha1(f"42:{i}".encode()).digest() * 8
+            w, h = 64 + (i % 4) * 32, 64 + (i % 3) * 32
+            rng = _np.random.default_rng(
+                int.from_bytes(_hl.sha256(payload).digest()[:8], "big")
+            )
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=_np.uint8)
+            small = img[:: max(1, h // 32), :: max(1, w // 32)][:32, :32]
+            th, tw = small.shape[0], small.shape[1]
+            x = small.astype(_np.float64).ravel()
+            frames = max(1, (30 * (1 + i % 5)) // 10) if kind == "video" else 1
+        rms = float(_np.sqrt(_np.mean(_np.square(x))))
+        # exponent form ({v:.17e}): DuckDB parses plain decimal literals as
+        # DECIMAL and rounds on the cast to DOUBLE (1-ulp mismatches);
+        # e-notation literals parse as DOUBLE directly and 17 significant
+        # digits round-trip bit-exactly
+        rows.append(
+            f"({i}, '{kind}', {x.mean():.17e}, {x.std():.17e}, "
+            f"{rms:.17e}, {tw}, {th}, {frames})"
+        )
+    return f"""
+        SELECT CAST(col0 AS BIGINT) AS media_id, col1 AS kind,
+               CAST(col2 AS DOUBLE) AS feat_mean, CAST(col3 AS DOUBLE) AS feat_std,
+               CAST(col4 AS DOUBLE) AS feat_rms, CAST(col5 AS INTEGER) AS thumb_w,
+               CAST(col6 AS INTEGER) AS thumb_h, CAST(col7 AS INTEGER) AS n_sampled_frames
+        FROM (VALUES {", ".join(rows)})
+    """
 
 
 def _duck_fold_dot(a: str, b: str) -> str:

@@ -69,13 +69,27 @@ def minhash_signatures(df: DataFrame, col: str = "text", k: int = 8, shingle: in
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, col: str = "text", k: int = 8, bands: int = 4, shingle: int = 5
+    df: DataFrame,
+    col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle: int = 5,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band key.
     k MinHashes split into `bands` bands of k/bands rows each; band key =
     md5 of the concatenated row hashes. Returns distinct (doc_a, doc_b),
     doc_a < doc_b. The join is equi on (band_id, band_key) — bucketed, never
-    all-pairs."""
+    all-pairs.
+
+    ``max_bucket`` guards the adversarial case: a corpus with thousands of
+    near-identical documents puts them all in ONE band bucket, and the
+    self-join of that bucket is O(n²) pairs — a single straggler task that
+    can kill the job at 100 TB. Band keys whose bucket exceeds the cap are
+    dropped from candidate generation (standard LSH practice: such a
+    mega-cluster is better handled by the cheaper exact tier — identical
+    docs share an exact_fp — or by clustering on the bucket key directly).
+    Audit what a cap would drop with ``lsh_bucket_stats``. None disables."""
     rows = k // bands
     sigs = minhash_signatures(df, col, k, shingle)
     band_cols = [
@@ -102,6 +116,15 @@ def minhash_lsh_pairs(
     # executors prefer reliable checkpointing (set a checkpoint dir and use
     # .checkpoint()) or persist with replication.
     exploded = exploded.localCheckpoint(eager=True)
+    if max_bucket is not None:
+        # one extra shuffle of (band_id, band_key) digests — cheap insurance
+        # against the quadratic bucket; map-side partial agg keeps it light
+        sizes = exploded.groupBy("band_id", "band_key").agg(
+            F.count("*").alias("_bsz")
+        )
+        exploded = exploded.join(
+            sizes.filter(F.col("_bsz") <= max_bucket), ["band_id", "band_key"]
+        ).drop("_bsz")
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -113,6 +136,32 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame, col: str = "text", k: int = 8, bands: int = 4, shingle: int = 5
+) -> DataFrame:
+    """Band-bucket size distribution — the audit query for choosing
+    ``max_bucket`` (returns (band_id, band_key, n_docs), largest first).
+    Run this before a production dedup pass: any bucket in the thousands is
+    a mega-cluster the pair join should not expand."""
+    sigs = minhash_signatures(df, col, k, shingle)
+    rows = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+        .groupBy("band.band_id", "band.band_key")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"))
     )
 
 

@@ -95,6 +95,23 @@ def _epoch_dir(base: str, epoch_id: int) -> str:
     return os.path.join(base, f"epoch={epoch_id}")
 
 
+def _iceberg_epoch_committed(spark: SparkSession, table: str, epoch_id: int) -> bool:
+    """Has this epoch already been committed to the Iceberg table? Each
+    append stamps `ordered.epoch` into the snapshot summary
+    (snapshot-property.* write option); replay after a foreachBatch crash
+    re-runs the same epoch_id, and this check makes the re-append a no-op —
+    the Iceberg analog of the parquet path's _SUCCESS-marker skip. Snapshot
+    metadata is small and bounded by expire_snapshots maintenance; the scan
+    is metadata-only (no data files touched)."""
+    try:
+        rows = spark.sql(
+            f"SELECT summary['ordered.epoch'] AS e FROM {table}.snapshots"
+        ).collect()
+    except Exception:
+        return False  # table absent on first epoch → nothing committed yet
+    return any(r.e == str(epoch_id) for r in rows)
+
+
 def _write_idempotent(df: DataFrame, base: str, epoch_id: int) -> None:
     """Skip-if-exists epoch write: replay of a committed epoch is a no-op.
     (Parquet stand-in for Iceberg's (queryId, epochId) snapshot dedupe.)"""
@@ -142,7 +159,11 @@ def split_sink(cfg: SinkConfig):
             )
         try:
             if cfg.iceberg_table:
-                unified.writeTo(cfg.iceberg_table).append()
+                spark = batch_df.sparkSession
+                if not _iceberg_epoch_committed(spark, cfg.iceberg_table, epoch_id):
+                    unified.writeTo(cfg.iceberg_table).option(
+                        "snapshot-property.ordered.epoch", str(epoch_id)
+                    ).append()
             else:
                 _write_idempotent(unified, cfg.data_path, epoch_id)
         except Exception:

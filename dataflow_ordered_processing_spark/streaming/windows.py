@@ -110,16 +110,42 @@ def read_first_match(spark, path: str) -> DataFrame:
     return first_match_reduce(df)
 
 
+_WM_UNITS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _watermark_seconds(watermark: str) -> float:
+    """Parse a Spark delay-threshold string ('10 minutes', '1 hour')."""
+    value, unit = watermark.strip().split()
+    return float(value) * _WM_UNITS[unit.rstrip("s").lower()]
+
+
 def start_first_match_join_pipeline(
     source: DataFrame,
     path: str,
     checkpoint: str,
     horizon_minutes: int = 10,
     watermark: str = "10 minutes",
+    bounded_input: bool = False,
 ):
     """Wire source → interval join → first-match MERGE sink; returns the
     running query. This is the streaming counterpart of
-    plans.analytics.user_assistant_pairs with IDENTICAL output rows."""
+    plans.analytics.user_assistant_pairs with IDENTICAL output rows.
+
+    The watermark bounds how long user turns are retained in join state: at
+    100-TB stream scale a large watermark means effectively unbounded state
+    and is a scale-killer. Watermarks over 1 hour are refused unless
+    ``bounded_input=True`` (a finite replay/backfill, where retaining
+    everything until the source drains is deliberate and safe)."""
+    if not bounded_input and _watermark_seconds(watermark) > 3600.0:
+        raise ValueError(
+            f"watermark {watermark!r} retains stream-stream join state for "
+            "that entire horizon — unbounded state growth on a continuous "
+            "stream. Pass bounded_input=True only for finite replays where "
+            "holding all state until the source drains is intended."
+        )
     joined = stream_user_assistant_join(source, horizon_minutes, watermark)
     return (
         joined.writeStream.outputMode("append")
@@ -161,6 +187,13 @@ def stream_user_assistant_join(
         )
         .withWatermark("assistant_ts", watermark)
     )
+    # NB: Spark logs a per-batch WARN from StreamingJoinHelper ("Error
+    # trying to extract state constraint ... Cannot evaluate expression
+    # user_turn_idx") for the non-temporal conjunct — benign: the helper
+    # simply can't derive an EXTRA state bound from `assistant_turn_idx >
+    # user_turn_idx` and falls back to the watermark + time-range bound,
+    # which is the real eviction mechanism here. (Writing the predicate as a
+    # post-join filter doesn't help: Catalyst pushes it back into the join.)
     return users.join(
         assistants,
         F.expr(

@@ -19,6 +19,7 @@ import time as _time
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from dataflow_ordered_processing_spark.operators import ordered_core as core
 from dataflow_ordered_processing_spark.streaming import OrderedStreamConfig
@@ -185,3 +186,50 @@ def test_redact_counts_match_insertions(spark):
     # doc 2: both matches are emails; no <IPV4> token is ever inserted
     assert got.loc[2, "n_email"] == 2 and got.loc[2, "n_ipv4"] == 0
     assert "<IPV4>" not in got.loc[2, "redacted"]
+
+
+# ---------------------------------------------------------------- R3-5
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """Adversarial corpus: 500 identical docs share every band key. Without
+    a cap the band self-join expands 500²/2 pairs in ONE bucket; with the
+    cap the bucket is dropped (the exact tier owns identical docs) and the
+    query completes with no quadratic expansion."""
+    from dataflow_ordered_processing_spark.functions import dedup
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("same text everywhere here now").alias("text")
+    )
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket=64)
+    assert capped.count() == 0  # mega-bucket excluded from pair expansion
+    stats = dedup.lsh_bucket_stats(docs).collect()
+    assert stats[0]["n_docs"] == 500  # the audit query exposes the cluster
+    # the cheaper exact tier still catches the cluster
+    ex = dedup.dedup_exact(docs).collect()
+    assert len(ex) == 1 and ex[0]["n_copies"] == 500
+    # an uncapped run on a small benign corpus is unchanged by the default cap
+    benign = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("distinct words for doc number "), F.col("id").cast("string")).alias("text"),
+    )
+    assert (
+        dedup.minhash_lsh_pairs(benign).collect()
+        == dedup.minhash_lsh_pairs(benign, max_bucket=None).collect()
+    )
+
+
+# ---------------------------------------------------------------- R3-6
+
+def test_first_match_watermark_guard():
+    """Stream-stream join refuses unbounded-state watermarks on continuous
+    streams; finite replays must say so explicitly."""
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        _watermark_seconds,
+        start_first_match_join_pipeline,
+    )
+
+    assert _watermark_seconds("10 minutes") == 600.0
+    assert _watermark_seconds("2 days") == 172800.0
+    with pytest.raises(ValueError, match="unbounded state"):
+        # guard fires before the source is touched
+        start_first_match_join_pipeline(None, "x", "y", watermark="2 days")

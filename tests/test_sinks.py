@@ -134,9 +134,14 @@ def test_iceberg_sink_contract(spark, tmp_path, monkeypatch):
         def __init__(self, df, table):
             self._df = df
             self._table = table
+            self._opts = {}
+
+        def option(self, k, v):
+            self._opts[k] = v
+            return self
 
         def append(self):
-            calls.append((self._table, self._df.columns, self._df.count()))
+            calls.append((self._table, self._df.columns, self._df.count(), dict(self._opts)))
 
     batch = spark.createDataFrame(
         [("c1", 1, "data", "x")], "conv_id string, turn_idx int, row_type string, text string"
@@ -153,7 +158,61 @@ def test_iceberg_sink_contract(spark, tmp_path, monkeypatch):
     )
     split_sink(cfg)(batch, 3)
     assert len(calls) == 1
-    table, cols, n = calls[0]
+    table, cols, n, opts = calls[0]
     assert table == "local.db.ordered_turns"
     assert "ingest_ts" in cols and n == 1
+    # the epoch id rides into the snapshot summary — the replay-dedup key
+    assert opts == {"snapshot-property.ordered.epoch": "3"}
     assert not os.path.exists(str(tmp_path / "data"))  # no parquet fallback ran
+
+    # checkpoint-replay idempotency: once the table's snapshot summaries
+    # contain this epoch, a re-run of the same epoch must NOT append again
+    # (mirrors what the parquet path proves for real with _SUCCESS markers)
+    import dataflow_ordered_processing_spark.streaming.sinks as sinks_mod
+
+    committed = {"3"}
+    monkeypatch.setattr(
+        sinks_mod,
+        "_iceberg_epoch_committed",
+        lambda spark_, table_, epoch_id: str(epoch_id) in committed,
+    )
+    split_sink(cfg)(batch, 3)  # replayed epoch → no-op
+    assert len(calls) == 1
+    split_sink(cfg)(batch, 4)  # fresh epoch → appends
+    assert len(calls) == 2 and calls[1][3] == {"snapshot-property.ordered.epoch": "4"}
+
+
+def test_iceberg_epoch_committed_reads_snapshot_summaries():
+    """_iceberg_epoch_committed consults the table's .snapshots metadata:
+    present epoch → True, absent → False, missing table (first epoch, or no
+    Iceberg catalog at all) → False."""
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        _iceberg_epoch_committed,
+    )
+
+    class _Row:
+        def __init__(self, e):
+            self.e = e
+
+    class _FakeResult:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    class _FakeSpark:
+        def __init__(self, rows=None, fail=False):
+            self._rows = rows or []
+            self._fail = fail
+
+        def sql(self, q):
+            assert ".snapshots" in q
+            if self._fail:
+                raise RuntimeError("Table or view not found")
+            return _FakeResult(self._rows)
+
+    snaps = [_Row("1"), _Row("2"), _Row(None)]
+    assert _iceberg_epoch_committed(_FakeSpark(snaps), "t", 2)
+    assert not _iceberg_epoch_committed(_FakeSpark(snaps), "t", 7)
+    assert not _iceberg_epoch_committed(_FakeSpark(fail=True), "t", 0)

@@ -220,7 +220,8 @@ def test_first_match_pipeline_equals_batch_pairs(spark, tmp_path):
     ckpt = os.path.join(str(tmp_path), "fm-ckpt")
     # huge watermark: nothing drops as late, so stream == batch exactly
     q = start_first_match_join_pipeline(
-        st.source(), out, ckpt, horizon_minutes=10, watermark="365 days"
+        st.source(), out, ckpt, horizon_minutes=10, watermark="365 days",
+        bounded_input=True,  # finite staged replay: nothing may be late
     )
     try:
         # staged out-of-order arrival: assistants first, then users, then a
