@@ -1,5 +1,21 @@
 """transformWithStateInPandas ordered processor: parity with the serial
-oracle and the classic applyInPandasWithState operator."""
+oracle and the classic applyInPandasWithState operator.
+
+Two tiers of evidence:
+
+  1. RUNTIME tests (skipped in this image): the full Spark
+     transformWithStateInPandas path needs `google.protobuf` on the Python
+     side (pyspark's state-server protocol imports StateMessage_pb2).
+     protobuf is not in the image, pip install is forbidden, and the sandbox
+     has no network (maven/pypi DNS fails — re-verified 2026-08-16 round 3).
+  2. BODY tests (run everywhere): OrderedProcessor's handleInputRows driven
+     with a FAKE StatefulProcessorHandle (ValueState/ListState dict
+     doubles) — the exact production class, every scenario, compared
+     row-level to the serial oracle. Same trick test_property_ordering.py
+     uses on the classic stateful func. These prove the engine's logic
+     (append-only buffer, gap-close drain, duplicate surfacing, depth
+     snapshots); only the Spark wire protocol remains untested.
+"""
 
 import pandas as pd
 import pytest
@@ -7,13 +23,15 @@ import pytest
 from dataflow_ordered_processing_spark.sources.scenarios import scenario, serial_oracle
 from dataflow_ordered_processing_spark.streaming.ordered_tws import (
     ROCKSDB_PROVIDER,
+    OrderedProcessor,
+    TwsConfig,
     ordered_stream_tws,
     tws_available,
 )
 
 from streaming_utils import StagedStream
 
-pytestmark = pytest.mark.skipif(
+requires_tws = pytest.mark.skipif(
     not tws_available(),
     reason="transformWithStateInPandas requires the protobuf package "
     "(pyspark's state-server protocol); not present in this image",
@@ -54,6 +72,7 @@ def _run(spark, tmp_path, batches, name):
     "scen", ["perfect_order", "reverse_order", "duplicates", "random_permutation",
              "multi_conversation", "gap_never_arrives", "skewed"]
 )
+@requires_tws
 def test_tws_matches_serial_oracle(rocksdb, tmp_path, scen):
     spark = rocksdb
     batches = scenario(scen)
@@ -77,6 +96,7 @@ def test_tws_matches_serial_oracle(rocksdb, tmp_path, scen):
         q.stop()
 
 
+@requires_tws
 def test_tws_status_and_final_counts(rocksdb, tmp_path):
     spark = rocksdb
     batches = scenario("duplicates")
@@ -95,6 +115,7 @@ def test_tws_status_and_final_counts(rocksdb, tmp_path):
         q.stop()
 
 
+@requires_tws
 def test_tws_depth_snapshot(rocksdb, tmp_path):
     spark = rocksdb
     batches = scenario("random_permutation")
@@ -111,3 +132,166 @@ def test_tws_depth_snapshot(rocksdb, tmp_path):
         assert list(got["chars_cum"]) == list(got["text"].str.len().cumsum())
     finally:
         q.stop()
+
+
+# ----------------------------------------------------- body-level harness
+# Fake StatefulProcessorHandle: dict-backed ValueState/ListState doubles
+# matching pyspark.sql.streaming.stateful_processor's surface. Drives the
+# PRODUCTION OrderedProcessor class without the protobuf wire protocol.
+
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class FakeListState:
+    def __init__(self):
+        self._rows = []
+
+    def exists(self):
+        return bool(self._rows)
+
+    def get(self):
+        return iter(list(self._rows))
+
+    def put(self, rows):
+        self._rows = list(rows)
+
+    def appendValue(self, v):
+        self._rows.append(tuple(v))
+
+    def appendList(self, rows):
+        self._rows.extend(tuple(r) for r in rows)
+
+    def clear(self):
+        self._rows = []
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeValueState())
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeListState())
+
+
+def _run_body(batches, cfg=None):
+    """Feed scenario batches through one OrderedProcessor per key (state is
+    per-key in real transformWithState); returns (data_rows, status_rows)."""
+    procs: dict[str, OrderedProcessor] = {}
+
+    def proc_for(conv_id):
+        if conv_id not in procs:
+            p = OrderedProcessor(cfg)
+            p.init(FakeHandle())
+            procs[conv_id] = p
+        return procs[conv_id]
+
+    data, status = [], []
+    for batch in batches:
+        for conv_id, g in batch.groupby("conv_id", sort=True):
+            frames = list(
+                proc_for(conv_id).handleInputRows(
+                    (conv_id,), iter([g.reset_index(drop=True)]), None
+                )
+            )
+            for f in frames:
+                data.append(f[f["row_type"] == "data"])
+                status.append(f[f["row_type"] == "status"])
+    data = [d for d in data if len(d)]
+    status = [s for s in status if len(s)]
+    return (
+        pd.concat(data, ignore_index=True) if data else pd.DataFrame(columns=CMP),
+        pd.concat(status, ignore_index=True) if status else pd.DataFrame(),
+    )
+
+
+@pytest.mark.parametrize(
+    "scen", ["perfect_order", "reverse_order", "duplicates", "random_permutation",
+             "multi_conversation", "gap_never_arrives", "skewed"]
+)
+def test_tws_body_matches_serial_oracle(scen):
+    batches = scenario(scen)
+    got, _ = _run_body(batches)
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = serial_oracle(batches).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    got["emit_seq"] = got["emit_seq"].astype("int64")
+    pd.testing.assert_frame_equal(got[CMP], want[CMP].astype({"emit_seq": "int64"}))
+
+
+def test_tws_body_status_and_final_counts():
+    _, st = _run_body(scenario("duplicates"))
+    st = st.sort_values("received_count").reset_index(drop=True)
+    last = st.iloc[-1]
+    assert last["duplicate_count"] == 2
+    assert last["received_count"] == 5
+    assert last["result_count"] == 3
+    assert last["buffered_count"] == 0
+    assert last["last_event_received"]
+
+
+def test_tws_body_depth_snapshot():
+    got, _ = _run_body(scenario("random_permutation"))
+    got = got.sort_values("turn_idx").reset_index(drop=True)
+    roles = got["role"]
+    assert list(got["n_user_cum"]) == list((roles == "user").cumsum())
+    assert list(got["chars_cum"]) == list(got["text"].str.len().cumsum())
+
+
+def test_tws_body_append_only_until_gap_closes():
+    """The design point of this engine: arrivals beyond an open gap must
+    APPEND to the ListState without reading it; the list is materialized
+    only when the gap closes."""
+    reads = []
+
+    class SpyListState(FakeListState):
+        def get(self):
+            reads.append(len(self._rows))
+            return super().get()
+
+    class SpyHandle(FakeHandle):
+        def getListState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, SpyListState())
+
+    p = OrderedProcessor(TwsConfig())
+    p.init(SpyHandle())
+    import datetime
+
+    def rows(*turns):
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(turns),
+                "turn_idx": pd.Series(turns, dtype="int32"),
+                "role": ["user"] * len(turns),
+                "text": [f"t{t}" for t in turns],
+                "tool": [None] * len(turns),
+                "ts": [datetime.datetime(2026, 1, 1)] * len(turns),
+            }
+        )
+
+    for turns in [(3,), (5,), (4,)]:  # all buffer behind the 1..2 gap
+        list(p.handleInputRows(("c",), iter([rows(*turns)]), None))
+    assert reads == []  # buffer never read while the gap is open
+    out = list(p.handleInputRows(("c",), iter([rows(1, 2)]), None))
+    assert reads == [3]  # exactly one materialization, at gap close
+    data = pd.concat(out)
+    emitted = data[data["row_type"] == "data"]["turn_idx"].astype(int).tolist()
+    assert emitted == [1, 2, 3, 4, 5]

@@ -132,6 +132,11 @@ def run_leg(src: str, cpus: int, workdir: str) -> dict:
     last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     if not last:
         raise RuntimeError(f"leg local[{cpus}] produced no result: {proc.stderr[-2000:]}")
+    # tmpfs IS RAM: delete each leg's outputs immediately or accumulated
+    # sink/checkpoint dirs squeeze page cache and depress later legs
+    # (round-2 methodology correction, BENCH/BASELINE.md)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return json.loads(last[-1])
 
 
