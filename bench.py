@@ -165,6 +165,13 @@ def main() -> int:
     run("lsh_topk", lambda: E._q_lsh_topk(spark, sf_dir).count())
     run("multimodal_features", lambda: E._q_multimodal_features(spark, sf_dir).count())
 
+    # staging is throwaway: leaving it accumulates in /tmp (or worse, tmpfs)
+    # across bench runs — the round-2 contamination lesson
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

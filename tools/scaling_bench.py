@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def generate_input(out_dir: str, rows: int, convs: int, cpus: int = 32) -> int:
+def generate_input(out_dir: str, rows: int, convs: int, cpus: int = 32, files: int = 64) -> int:
     """Deterministic skewed out-of-order transcript arrivals, generated
     fully vectorized in Spark (one pass, no driver loops) — turn counts
     ∝ 1-(i/n)^2 (the reference simulator's skew law, Simulator.java:61-69),
@@ -75,7 +75,7 @@ def generate_input(out_dir: str, rows: int, convs: int, cpus: int = 32) -> int:
         ).alias("ts"),
     )
     shuffled = t.orderBy(F.xxhash64("conv_id", "turn_idx", F.lit(42)))
-    shuffled.repartition(64).write.mode("overwrite").parquet(out_dir)
+    shuffled.repartition(files).write.mode("overwrite").parquet(out_dir)
     n = spark.read.parquet(out_dir).count()
     spark.stop()
     return n
@@ -86,6 +86,10 @@ ROCKSDB = True  # default: RocksDB state store (disable with --hdfs-state-store)
 
 ENGINE = "classic"
 N_SHARDS = 256
+# micro-batch sizing: files are the unit of source parallelism under
+# maxFilesPerTrigger — keep files_per_trigger >= the widest leg's cores or
+# the parquet scan stage (not the engine) caps scaling at wide legs
+FILES_PER_TRIGGER = 8
 
 
 def run_leg(src: str, cpus: int, workdir: str) -> dict:
@@ -106,7 +110,7 @@ def run_leg(src: str, cpus: int, workdir: str) -> dict:
             ckpt,
             "--available-now",
             "--max-files-per-trigger",
-            "8",
+            str(FILES_PER_TRIGGER),
             # NOTE: partitions intentionally track cores (Spark local-mode
             # default). A pinned-64-shards experiment measured ~160 ms fixed
             # cost PER STATE PARTITION PER BATCH (python worker + state
@@ -150,16 +154,19 @@ def main() -> int:
     ap.add_argument("--hdfs-state-store", action="store_true")
     ap.add_argument("--engine", choices=["classic", "sharded"], default="classic")
     ap.add_argument("--n-shards", type=int, default=256)
+    ap.add_argument("--files", type=int, default=64, help="input file count (source split units)")
+    ap.add_argument("--files-per-trigger", type=int, default=8)
     args = ap.parse_args()
-    global ROCKSDB, ENGINE, N_SHARDS
+    global ROCKSDB, ENGINE, N_SHARDS, FILES_PER_TRIGGER
     ROCKSDB = not args.hdfs_state_store
     ENGINE = args.engine
     N_SHARDS = args.n_shards
+    FILES_PER_TRIGGER = args.files_per_trigger
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="scaling-")
     src = os.path.join(workdir, "src")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        n = generate_input(src, args.rows, args.convs)
+        n = generate_input(src, args.rows, args.convs, files=args.files)
         print(f"generated {n} arrival rows at {src}", file=sys.stderr)
 
     legs = {}
