@@ -490,6 +490,41 @@ def _q_redact_pii(spark, sf_dir):
     return text.redact_pii(docs)
 
 
+def _q_vocab_topk(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.vocab_topk(docs, k=50)
+
+
+def _q_doc_length_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.doc_length_stats(docs)
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming dedup (dropDuplicatesWithinWatermark on the idempotency
+    key) run to completion over the staged arrival stream; first arrival
+    wins, and re-deliveries are exact copies, so the output set equals
+    DISTINCT arrival — the oracle."""
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming.windows import stream_dedup_turns
+
+    stage = _stage_dir("dedup-src")
+    _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    name = "stream_dedup_out"
+    q = (
+        # bounded staged replay: the long watermark only sizes dedup state
+        stream_dedup_turns(src, watermark="365 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.lang_id(docs)
@@ -639,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "token_count": _q_token_count,
         "redact_pii": _q_redact_pii,
+        "vocab_topk": _q_vocab_topk,
+        "doc_length_stats": _q_doc_length_stats,
+        "stream_dedup": _q_stream_dedup,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -888,6 +926,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _redact_pii_oracle(),
         "multimodal_features": _multimodal_oracle(),
+        "vocab_topk": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                         AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "doc_length_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_cont(length(text), 0.5) AS DOUBLE) AS p50_chars,
+                   CAST(quantile_cont(length(text), 0.9) AS DOUBLE) AS p90_chars,
+                   CAST(quantile_cont(length(text), 0.99) AS DOUBLE) AS p99_chars,
+                   CAST(avg(length(text)) AS DOUBLE) AS mean_chars,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars
+            FROM documents
+        """,
+        "stream_dedup": _with_transcripts(
+            """
+            SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts FROM arrival
+            """
+        ),
         "minhash_lsh_pairs": _MINHASH_ORACLE,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

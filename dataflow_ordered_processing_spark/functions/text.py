@@ -68,6 +68,42 @@ def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
     return df.select("doc_id", redacted.alias("redacted"), *counts)
 
 
+def vocab_topk(df: DataFrame, col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k whitespace tokens by frequency — the
+    first question asked of any new training corpus (tokenizer coverage,
+    boilerplate detection). explode → groupBy count gets map-side partial
+    aggregation, so what shuffles is one (token, partial_count) row per
+    distinct token per partition, not the token stream; the final top-k is
+    a TakeOrdered (no full sort) at 100 TB. Deterministic tie-break by
+    token so the cut at k is stable."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col))), r"\s+"), lambda w: F.length(w) > 0
+    )
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def doc_length_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus length distribution: exact percentiles + mean of character
+    lengths — the standard budget/truncation analysis. Uses Spark's EXACT
+    percentile (linear interpolation, same definition as DuckDB's
+    quantile_cont) so the oracle matches bit-for-bit on integer lengths."""
+    length = F.length(col).alias("len")
+    return df.select(length).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(percentile(len, 0.5D) AS DOUBLE)").alias("p50_chars"),
+        F.expr("CAST(percentile(len, 0.9D) AS DOUBLE)").alias("p90_chars"),
+        F.expr("CAST(percentile(len, 0.99D) AS DOUBLE)").alias("p99_chars"),
+        F.avg("len").alias("mean_chars"),
+        F.max("len").cast("long").alias("max_chars"),
+    )
+
+
 def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
     score — the standard cheap quality gates of LLM data pipelines."""

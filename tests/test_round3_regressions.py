@@ -233,3 +233,26 @@ def test_first_match_watermark_guard():
     with pytest.raises(ValueError, match="unbounded state"):
         # guard fires before the source is touched
         start_first_match_join_pipeline(None, "x", "y", watermark="2 days")
+
+
+# ------------------------------------------------- new corpus-stats ops (r3)
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from dataflow_ordered_processing_spark.functions import text
+
+    df = spark.createDataFrame([(1, "a b b c C"), (2, "b  a\t x")], ["doc_id", "text"])
+    got = [(r["token"], r["n"]) for r in text.vocab_topk(df, k=3).collect()]
+    # case-folded, whitespace-split; ties broken by token for a stable cut
+    assert got == [("b", 3), ("a", 2), ("c", 2)]
+
+
+def test_doc_length_stats_exact(spark):
+    from dataflow_ordered_processing_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate([4, 8, 10, 100])], ["doc_id", "text"]
+    )
+    row = text.doc_length_stats(df).collect()[0]
+    assert row["n_docs"] == 4 and row["max_chars"] == 100
+    assert row["p50_chars"] == 9.0  # exact percentile, linear interpolation
+    assert row["mean_chars"] == 30.5
