@@ -92,7 +92,10 @@ def doc_length_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Corpus length distribution: exact percentiles + mean of character
     lengths — the standard budget/truncation analysis. Uses Spark's EXACT
     percentile (linear interpolation, same definition as DuckDB's
-    quantile_cont) so the oracle matches bit-for-bit on integer lengths."""
+    quantile_cont) so the oracle matches bit-for-bit on integer lengths.
+    Scale note: exact-percentile state is a per-partition value→count map,
+    O(distinct lengths) — bounded for character lengths, so safe at 100 TB;
+    for an unbounded metric swap in percentile_approx."""
     length = F.length(col).alias("len")
     return df.select(length).agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -1,0 +1,283 @@
+"""Pure-Python Avro Object Container File writer/reader.
+
+The reference exports simulator results as Avro (AvroOutputConsumer.java:
+37-70). Spark's own `.format("avro")` needs the spark-avro jar, which this
+sandbox cannot download — so the happy path was jar-gated until round 3.
+This module implements the Avro 1.11 OCF format from the public
+specification (https://avro.apache.org/docs/1.11.1/specification/):
+
+  - binary encoding: zigzag-varint ints/longs, length-prefixed utf8
+    strings/bytes, IEEE-754 little-endian float/double, 1-byte booleans,
+    unions as varint branch index + value, timestamp-micros logical type;
+  - container: `Obj\\x01` magic, metadata map (avro.schema + avro.codec),
+    16-byte sync marker, then (record-count, byte-length, payload, sync)
+    blocks; `null` and `deflate` codecs.
+
+Only flat record schemas are supported (every sink/export table here is
+flat). Writing from Spark stays DISTRIBUTED: export_avro_python in
+streaming/sinks.py runs the encoder per partition via mapInPandas — one
+.avro file per partition, like any Spark file sink. The per-row encode loop
+is Python, which is fine for an EXPORT CONNECTOR (it runs once at the edge,
+not in the hot path) — and is exactly what the reference's java consumer
+does row-at-a-time too.
+
+The reader exists for verification and tests (round-trip + golden vectors
+from the spec); it is not a Spark source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import struct
+import zlib
+
+import pandas as pd
+
+MAGIC = b"Obj\x01"
+
+# ----------------------------------------------------------- primitives
+
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def zigzag_decode(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    u = zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BytesIO) -> int:
+    shift, u = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return zigzag_decode(u)
+        shift += 7
+
+
+def write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.write(b)
+
+
+def write_string(buf: io.BytesIO, s: str) -> None:
+    write_bytes(buf, s.encode("utf-8"))
+
+
+def read_bytes(buf: io.BytesIO) -> bytes:
+    return buf.read(read_long(buf))
+
+
+# ----------------------------------------------------------- schema mapping
+
+_SPARK_TO_AVRO = {
+    "string": "string",
+    "integer": "int",
+    "long": "long",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def spark_schema_to_avro(schema, name: str = "spark_export") -> dict:
+    """Flat Spark StructType → Avro record schema (nullable → union with
+    null; timestamps → long/timestamp-micros, matching spark-avro)."""
+    fields = []
+    for f in schema.fields:
+        tn = f.dataType.typeName()
+        if tn in _SPARK_TO_AVRO:
+            at: object = _SPARK_TO_AVRO[tn]
+        elif tn == "timestamp":
+            at = {"type": "long", "logicalType": "timestamp-micros"}
+        elif tn == "timestamp_ntz":  # session-TZ-free timestamps (Spark 3.4+)
+            at = {"type": "long", "logicalType": "local-timestamp-micros"}
+        elif tn == "date":
+            at = {"type": "int", "logicalType": "date"}
+        else:
+            raise ValueError(f"unsupported export type for Avro: {tn} ({f.name})")
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _writer_for(avro_type) -> tuple:
+    """(python-writer, kind) for one non-union Avro type."""
+    if isinstance(avro_type, dict):
+        lt = avro_type.get("logicalType")
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return (lambda buf, v: write_long(buf, int(v)), "ts")
+        if lt == "date":
+            return (
+                lambda buf, v: write_long(buf, pd.Timestamp(v).toordinal() - 719163),
+                "int",
+            )
+        avro_type = avro_type["type"]
+    return {
+        "string": (lambda buf, v: write_string(buf, v), "str"),
+        "int": (lambda buf, v: write_long(buf, int(v)), "int"),
+        "long": (lambda buf, v: write_long(buf, int(v)), "int"),
+        "double": (lambda buf, v: buf.write(struct.pack("<d", float(v))), "f"),
+        "float": (lambda buf, v: buf.write(struct.pack("<f", float(v))), "f"),
+        "boolean": (lambda buf, v: buf.write(b"\x01" if v else b"\x00"), "b"),
+        "bytes": (lambda buf, v: write_bytes(buf, bytes(v)), "bytes"),
+    }[avro_type]
+
+
+def _field_writers(avro_schema: dict):
+    out = []
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        nullable = isinstance(t, list)
+        inner = t[1] if nullable else t
+        out.append((f["name"], nullable, *_writer_for(inner)))
+    return out
+
+
+def _ts_to_micros(v) -> int:
+    return pd.Timestamp(v).value // 1000  # ns → µs
+
+
+def encode_records(pdf: pd.DataFrame, avro_schema: dict) -> tuple[bytes, int]:
+    """Encode a pandas frame as concatenated Avro binary records."""
+    buf = io.BytesIO()
+    writers = _field_writers(avro_schema)
+    cols = {name: pdf[name].tolist() for name, *_ in writers}
+    n = len(pdf)
+    for i in range(n):
+        for name, nullable, w, kind in writers:
+            v = cols[name][i]
+            isnull = v is None or (v != v if not isinstance(v, (str, bytes)) else False)
+            if nullable:
+                if isnull:
+                    write_long(buf, 0)  # union branch: null
+                    continue
+                write_long(buf, 1)
+            elif isnull:
+                raise ValueError(f"null in non-nullable field {name}")
+            if kind == "ts":
+                v = _ts_to_micros(v)
+            w(buf, v)
+    return buf.getvalue(), n
+
+
+def _sync_marker(schema_json: str) -> bytes:
+    # deterministic per schema: reproducible files, still unique enough to
+    # delimit blocks (the spec only requires 16 bytes consistent in-file)
+    return hashlib.md5(("sync:" + schema_json).encode()).digest()
+
+
+def write_ocf(
+    out: io.BufferedWriter, avro_schema: dict, frames, codec: str = "deflate"
+) -> int:
+    """Write an Avro Object Container File from an iterable of pandas
+    frames (one data block per frame). Returns rows written."""
+    schema_json = json.dumps(avro_schema)
+    sync = _sync_marker(schema_json)
+    head = io.BytesIO()
+    head.write(MAGIC)
+    write_long(head, 2)  # metadata map: one block of 2 entries
+    write_string(head, "avro.schema")
+    write_bytes(head, schema_json.encode())
+    write_string(head, "avro.codec")
+    write_bytes(head, codec.encode())
+    write_long(head, 0)  # map terminator
+    head.write(sync)
+    out.write(head.getvalue())
+
+    total = 0
+    for pdf in frames:
+        if not len(pdf):
+            continue
+        payload, n = encode_records(pdf, avro_schema)
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        blk = io.BytesIO()
+        write_long(blk, n)
+        write_bytes(blk, payload)
+        blk.write(sync)
+        out.write(blk.getvalue())
+        total += n
+    return total
+
+
+# ----------------------------------------------------------- reader (tests)
+
+
+def _reader_for(avro_type):
+    if isinstance(avro_type, dict):
+        lt = avro_type.get("logicalType")
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return lambda buf: pd.Timestamp(read_long(buf), unit="us")
+        if lt == "date":
+            return lambda buf: pd.Timestamp.fromordinal(read_long(buf) + 719163).date()
+        avro_type = avro_type["type"]
+    return {
+        "string": lambda buf: read_bytes(buf).decode("utf-8"),
+        "int": read_long,
+        "long": read_long,
+        "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+        "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
+        "boolean": lambda buf: buf.read(1) == b"\x01",
+        "bytes": read_bytes,
+    }[avro_type]
+
+
+def read_ocf(path: str) -> tuple[dict, list[dict]]:
+    """Read one OCF file → (schema, rows). Verification/test utility."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = io.BytesIO(data)
+    assert buf.read(4) == MAGIC, "not an Avro object container file"
+    meta = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            k = read_bytes(buf).decode()
+            meta[k] = read_bytes(buf)
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    readers = []
+    for fld in schema["fields"]:
+        t = fld["type"]
+        nullable = isinstance(t, list)
+        readers.append((fld["name"], nullable, _reader_for(t[1] if nullable else t)))
+    rows = []
+    while buf.tell() < len(data):
+        n = read_long(buf)
+        payload = read_bytes(buf)
+        assert buf.read(16) == sync, "sync marker mismatch"
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        rbuf = io.BytesIO(payload)
+        for _ in range(n):
+            row = {}
+            for name, nullable, rd in readers:
+                if nullable and read_long(rbuf) == 0:
+                    row[name] = None
+                else:
+                    row[name] = rd(rbuf)
+            rows.append(row)
+    return schema, rows

@@ -231,19 +231,56 @@ def read_sink(spark: SparkSession, base: str, table: str = "data") -> DataFrame:
     )
 
 
+def export_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Distributed Avro OCF export without the spark-avro jar: each
+    partition encodes its rows with the pure-Python spec implementation
+    (sources/avro_io.py) and writes one .avro container file under `path`
+    — the same file-per-partition layout as any Spark file sink. Returns
+    rows written. Export-connector semantics (AvroOutputConsumer.java:37-70
+    analog): the per-row encode loop runs once at the edge, not in the
+    query hot path. NB: workers open(path) directly, so on a multi-node
+    cluster `path` must be a shared mount (or use the spark-avro jar, which
+    this function is only the fallback for)."""
+    import json as _json
+    import uuid
+
+    from ..sources import avro_io
+
+    avro_schema = avro_io.spark_schema_to_avro(df.schema)
+    schema_json = _json.dumps(avro_schema)
+    os.makedirs(path, exist_ok=True)
+
+    def write_parts(batches):
+        import pandas as _pd
+        from pyspark import TaskContext
+
+        schema = _json.loads(schema_json)
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+        with open(fname, "wb") as f:
+            n = avro_io.write_ocf(f, schema, batches, codec=codec)
+        if n == 0:
+            os.remove(fname)  # empty partition → no file (Spark convention)
+            fname = None
+        yield _pd.DataFrame({"file": [fname], "n_rows": [n]})
+
+    parts = df.mapInPandas(write_parts, "file string, n_rows long").collect()
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return int(sum(r["n_rows"] for r in parts))
+
+
 def export_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Bulk export of a sink table — the reference simulator's output
     connectors (Avro: AvroOutputConsumer.java:37-70, line-JSON:
-    JSONOutputConsumer.java:35-149). Avro needs the spark-avro package; we
-    degrade to JSON with a clear error if it's absent."""
+    JSONOutputConsumer.java:35-149). Avro prefers the spark-avro package
+    when present and falls back to the built-in pure-Python OCF writer
+    (identical container format, deflate codec) when the jar is absent."""
     if fmt == "avro":
         try:
             df.write.format("avro").mode("overwrite").save(path)
-        except Exception as e:  # spark-avro jar not on the classpath
-            raise RuntimeError(
-                "avro export requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<version>)"
-            ) from e
+        except Exception:  # spark-avro jar not on the classpath
+            export_avro_python(df, path)
     elif fmt == "json":
         df.write.mode("overwrite").json(path)
     elif fmt == "parquet":
