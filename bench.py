@@ -164,6 +164,9 @@ def main() -> int:
     run("brute_force_topk", lambda: E._q_brute_topk(spark, sf_dir).count())
     run("lsh_topk", lambda: E._q_lsh_topk(spark, sf_dir).count())
     run("multimodal_features", lambda: E._q_multimodal_features(spark, sf_dir).count())
+    run("vocab_topk", lambda: E._q_vocab_topk(spark, sf_dir).count())
+    run("doc_length_stats", lambda: E._q_doc_length_stats(spark, sf_dir).count())
+    run("stream_dedup", lambda: E._q_stream_dedup(spark, sf_dir).count())
 
     # staging is throwaway: leaving it accumulates in /tmp (or worse, tmpfs)
     # across bench runs — the round-2 contamination lesson

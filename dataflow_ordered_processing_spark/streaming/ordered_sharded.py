@@ -19,16 +19,17 @@ per-conversation states inside one pickled binary state value:
 
 Trade-off (why both variants exist): the shard state blob is rewritten
 every micro-batch. Since round 3, per-conversation entries inside the dict
-are stored PRE-PICKLED (bytes), so the rewrite memcpys untouched
-conversations instead of re-walking their numpy/object graphs — measured
-13× cheaper per invocation in the sparse-touch regime (10k pending convs,
-100 touched per batch: 809 → 62 ms), which is exactly the 10^12-turn shape
-where a micro-batch touches a small fraction of keys. The remaining cost is
-O(total state bytes) memcpy per batch; a shard where gigabytes of buffers
-sit idle for hours still favors the classic per-key operator whose
-untouched keys cost literally nothing. n_shards should track total cores
-across the cluster (shards are the parallelism unit here — at 1000
-executors give it 8-32k shards).
+are stored ADAPTIVELY: pre-pickled bytes when a batch touches a minority
+of the shard's conversations (untouched bytes then memcpy through the
+outer pickle — 11-13× cheaper per invocation at 10k pending convs / 100
+touched, the 10^12-turn sparse-touch shape), plain tuples when a batch
+touches the majority (dense replays — the nested dumps framing would cost
+~10%, measured by interleaved A/B at 4M rows). Mixed dicts load entry by
+entry. The remaining cost is O(total state bytes) memcpy per batch; a
+shard where gigabytes of buffers sit idle for hours still favors the
+classic per-key operator whose untouched keys cost literally nothing.
+n_shards should track total cores across the cluster (shards are the
+parallelism unit here — at 1000 executors give it 8-32k shards).
 ``start_ordered_pipeline(n_shards=None)`` defaults to
 8 × defaultParallelism and pins the choice in a checkpoint marker (resuming
 with a different n_shards would silently re-key conversations to different
@@ -302,6 +303,7 @@ def make_sharded_func(cfg: OrderedStreamConfig):
             n_rows = len(sorted_conv)
             bounds = [0] + list(np.flatnonzero(sorted_conv[1:] != sorted_conv[:-1]) + 1) + [n_rows]
             arrived = set()
+            touched: dict = {}  # conv_id → OrderedState, encoded after the loop
             for i in range(len(bounds) - 1):
                 lo, hi = bounds[i], bounds[i + 1]
                 if lo == hi:
@@ -326,12 +328,25 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                     statuses.append(core.status_dict(conv_id, st))
                 if st.complete:
                     states.pop(conv_id, None)
+                    touched.pop(conv_id, None)
                     if cfg.cleanup_on_complete:
                         states.get(_TOMBS, {}).pop(conv_id, None)
                     else:
                         states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
                 else:
-                    states[conv_id] = _conv_dumps(st)
+                    touched[conv_id] = st
+            # Adaptive entry encoding: pre-pickled bytes pay off when MOST
+            # entries are untouched next batch (their bytes memcpy through
+            # the outer pickle — 13× in the sparse-touch regime); when a
+            # batch touches the majority of the shard's conversations
+            # (dense replays/backfills) the nested per-conv dumps framing
+            # is pure overhead (~10% measured at 4M rows/1-4 cores), so
+            # store plain tuples instead. Mixed dicts are fine — the loader
+            # accepts both forms entry by entry.
+            n_active = len(states.keys() - {_HB_AT, _TOMBS} | touched.keys())
+            enc = _conv_to_tuple if len(touched) * 2 >= n_active else _conv_dumps
+            for cid, st in touched.items():
+                states[cid] = enc(st)
             # A busy shard's ProcessingTimeTimeout never fires (any arrival
             # reschedules it), which would starve idle co-sharded keys of
             # heartbeats/TTL — the classic engine's PER-KEY timers have no

@@ -112,6 +112,14 @@ def main() -> int:
         "(amortizes per-group overhead across conversations)",
     )
     ap.add_argument(
+        "--export",
+        choices=["avro", "json", "parquet"],
+        default=None,
+        help="after the run, bulk-export the ordered data table to "
+        "<out>/export.<fmt> (Avro works jar-less via the built-in OCF "
+        "writer) — the reference simulator's output-connector analog",
+    )
+    ap.add_argument(
         "--n-shards",
         type=int,
         default=None,
@@ -133,6 +141,7 @@ def main() -> int:
     from dataflow_ordered_processing_spark.streaming.sinks import (
         SinkConfig,
         _check_engine_marker,
+        export_table,
         read_sink,
         split_sink,
     )
@@ -194,7 +203,10 @@ def main() -> int:
         q.stop()
     wall = time.time() - t0
 
-    n = read_sink(spark, sink.data_path).count()
+    data = read_sink(spark, sink.data_path)
+    if args.export:
+        export_table(data, os.path.join(args.out, f"export.{args.export}"), args.export)
+    n = data.count()
     result = {
         "rows_emitted": n,
         "wall_s": round(wall, 2),

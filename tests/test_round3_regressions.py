@@ -310,3 +310,16 @@ def test_legacy_tuple_state_blob_still_loads():
     func = make_sharded_func(OrderedStreamConfig(emit_status_every_batch=False))
     data, _ = _collect(func((0,), iter([_shard_batch_rows([("cL", 1)])]), state))
     assert data == [("cL", 1), ("cL", 2)]  # gap closed through a legacy blob
+
+
+def test_dense_touch_stores_plain_tuples():
+    """Adaptive encoding: when a batch touches the majority of the shard's
+    conversations, entries are stored as plain tuples (no nested dumps
+    framing); sparse batches store bytes (see
+    test_untouched_convs_not_repickled)."""
+    state = _FakeState(None)
+    func = make_sharded_func(OrderedStreamConfig(emit_status_every_batch=False))
+    batch = _shard_batch_rows([("cA", 2), ("cB", 2)])  # all touched, all pending
+    list(func((0,), iter([batch]), state))
+    d = pickle.loads(state.get[0])
+    assert isinstance(d["cA"], tuple) and isinstance(d["cB"], tuple)
