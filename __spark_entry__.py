@@ -480,6 +480,13 @@ def _q_dedup_keep_first(spark, sf_dir):
     return dedup.dedup_keep_first(docs, pairs).select("doc_id")
 
 
+def _q_lsh_bucket_stats(spark, sf_dir):
+    """LSH band-bucket size distribution — the audit query behind the
+    max_bucket cap choice (degenerate-bucket guard)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_bucket_stats(docs, k=8, bands=4)
+
+
 def _q_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(docs)
@@ -668,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
         "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal_features,
@@ -951,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "minhash_lsh_pairs": _MINHASH_ORACLE,
+        "lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "simhash": _SIMHASH_ORACLE,
@@ -1193,6 +1202,24 @@ bands AS (
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+# band-bucket size distribution: same bands CTE, grouped — the audit query
+# behind the max_bucket degenerate-bucket cap
+_LSH_BUCKET_STATS_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES5}) AS sh FROM w),
+sig AS (SELECT doc_id,
+  {', '.join(f"list_min(list_transform(sh, s -> md5('seed{i}:' || s))) AS mh_{i}" for i in range(8))}
+FROM sh),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_key FROM sig"
+      for b in range(4))}
+)
+SELECT CAST(band_id AS INTEGER) AS band_id, band_key,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM bands GROUP BY 1, 2
 """
 
 # keep-first resolution on top of the LSH candidate pairs: drop every doc
