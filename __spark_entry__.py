@@ -532,6 +532,30 @@ def _q_stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_pricing_summary(spark, sf_dir):
+    from dataflow_ordered_processing_spark.plans import relational
+
+    return relational.pricing_summary(spark, sf_dir)
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    from dataflow_ordered_processing_spark.plans import relational
+
+    return relational.revenue_by_nation(spark, sf_dir)
+
+
+def _q_top_brands(spark, sf_dir):
+    from dataflow_ordered_processing_spark.plans import relational
+
+    return relational.top_brands_by_revenue(spark, sf_dir)
+
+
+def _q_order_priority(spark, sf_dir):
+    from dataflow_ordered_processing_spark.plans import relational
+
+    return relational.order_priority_counts(spark, sf_dir)
+
+
 def _q_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.lang_id(docs)
@@ -682,6 +706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "token_count": _q_token_count,
         "redact_pii": _q_redact_pii,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_brands_by_revenue": _q_top_brands,
+        "order_priority_counts": _q_order_priority,
         "vocab_topk": _q_vocab_topk,
         "doc_length_stats": _q_doc_length_stats,
         "stream_dedup": _q_stream_dedup,
@@ -934,6 +962,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _redact_pii_oracle(),
         "multimodal_features": _multimodal_oracle(),
+        # relational family: money aggregates as integer micro-units via
+        # floor(x*1e6 + 0.5) — per-row double math is bit-identical across
+        # engines, BIGINT sums are order-independent (float SUMs are not)
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_micros,
+                   CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_base_price_micros,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_disc_price_micros,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                       * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_charge_micros,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_micros,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2
+        """,
+        "top_brands_by_revenue": """
+            SELECT p_brand,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_micros
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY revenue_micros DESC, p_brand ASC LIMIT 10
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1
+        """,
         "vocab_topk": """
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))

@@ -1,0 +1,114 @@
+"""Relational analytics over the TPC-H-ish side tables — the join-planning
+showcase: broadcast the small dimensions, push filters to the parquet scan,
+partial-aggregate before the one shuffle, TakeOrdered for top-k.
+
+Exactness discipline (driver oracle = DuckDB): floating-point SUMs are
+addition-order-dependent, so every money aggregate here is computed as
+per-row DOUBLE arithmetic (bit-identical across engines for identical
+inputs) folded to an INTEGER number of micro-units via
+``floor(x * 1e6 + 0.5)`` — floor is exactly defined on the identical
+double, and BIGINT sums are associative. Suffix ``_micros`` marks those
+columns; divide by 1e6 downstream for display.
+
+At 100 TB: `lineitem` is the fact table — everything joins to it via
+BROADCAST (nation 25 rows, region 5, customer/part/supplier thousands —
+all << spark.sql.autoBroadcastJoinThreshold at real scale too, except
+customer/part which would switch to shuffle joins as they grow; the
+explicit F.broadcast hints below mark the ones that stay dimension-sized).
+No query shuffles the fact table more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _micros(col: F.Column) -> F.Column:
+    """Deterministic double → integer micro-units (see module docstring)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: pricing summary report over lineitem. One scan, one
+    shuffle of 4-ish grouped rows (map-side partial agg does the work)."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_micros(F.col("l_quantity"))).alias("sum_qty_micros"),
+            F.sum(_micros(F.col("l_extendedprice"))).alias("sum_base_price_micros"),
+            F.sum(_micros(disc_price)).alias("sum_disc_price_micros"),
+            F.sum(_micros(charge)).alias("sum_charge_micros"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored: revenue per (region, nation) for orders in 1995.
+    Plan shape: the o_orderdate filter pushes into the orders scan;
+    customer/nation/region broadcast (no fact-table shuffle for the joins);
+    the single exchange is the final 25-group aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(  # pushes into the parquet scan
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    revenue = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # NB: orders gets a broadcast hint because the 1995 filter shrinks it to
+    # a fraction of a small table at test scale; at 100 TB orders is a fact
+    # table and the hint should be dropped so Catalyst picks a shuffle join
+    # for it, while the true dimensions (customer/nation/region) stay
+    # broadcast.
+    return (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).alias("revenue_micros"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def top_brands_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k part brands by discounted revenue: broadcast part into the
+    lineitem scan, aggregate by brand (partial agg), TakeOrdered(k) — no
+    global sort. Deterministic tie-break on brand."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    revenue = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum(revenue).alias("revenue_micros"))
+        .orderBy(F.desc("revenue_micros"), F.asc("p_brand"))
+        .limit(k)
+    )
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders per priority that have at least one line item
+    shipped after the order date — a semi-join (EXISTS) the optimizer turns
+    into a left-semi hash join; counts only, trivially exact."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualifying = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return qualifying.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )

@@ -323,3 +323,65 @@ def test_dense_touch_stores_plain_tuples():
     list(func((0,), iter([batch]), state))
     d = pickle.loads(state.get[0])
     assert isinstance(d["cA"], tuple) and isinstance(d["cB"], tuple)
+
+
+# ----------------------------------------------- relational family (r3)
+
+def test_relational_plan_shapes(spark, sf_dir):
+    """The join-planning contract at 100 TB: dimensions broadcast (no
+    sort-merge join anywhere), the date filter reaches the orders scan,
+    and top-k is TakeOrdered (no global sort)."""
+    from dataflow_ordered_processing_spark.plans import relational
+
+    plan = (
+        relational.revenue_by_nation(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # predicate pushdown
+
+    topk = (
+        relational.top_brands_by_revenue(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in topk and "BroadcastHashJoin" in topk
+
+
+def test_pricing_summary_micros_deterministic(spark, sf_dir):
+    """Integer-micro aggregation is addition-order independent: the same
+    query over a reshuffled input yields bit-identical sums."""
+    from dataflow_ordered_processing_spark.plans import relational
+
+    a = {
+        (r["l_returnflag"], r["l_linestatus"]): r["sum_charge_micros"]
+        for r in relational.pricing_summary(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(13)
+    stage = str(spark._jvm.java.lang.System.getProperty("java.io.tmpdir"))
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="li13-")
+    li.write.mode("overwrite").parquet(d)
+
+    class _Spy:
+        pass
+
+    import dataflow_ordered_processing_spark.plans.relational as rel
+
+    orig = rel._t
+
+    def patched(spark_, sf, name):
+        if name == "lineitem":
+            return spark_.read.parquet(d)
+        return orig(spark_, sf, name)
+
+    rel._t = patched
+    try:
+        b = {
+            (r["l_returnflag"], r["l_linestatus"]): r["sum_charge_micros"]
+            for r in rel.pricing_summary(spark, sf_dir).collect()
+        }
+    finally:
+        rel._t = orig
+    assert a == b
