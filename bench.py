@@ -165,6 +165,8 @@ def main() -> int:
     run("lsh_topk", lambda: E._q_lsh_topk(spark, sf_dir).count())
     run("multimodal_features", lambda: E._q_multimodal_features(spark, sf_dir).count())
     run("vocab_topk", lambda: E._q_vocab_topk(spark, sf_dir).count())
+    run("pricing_summary", lambda: E._q_pricing_summary(spark, sf_dir).count())
+    run("revenue_by_nation", lambda: E._q_revenue_by_nation(spark, sf_dir).count())
     run("doc_length_stats", lambda: E._q_doc_length_stats(spark, sf_dir).count())
     run("stream_dedup", lambda: E._q_stream_dedup(spark, sf_dir).count())
 

@@ -68,6 +68,26 @@ def minhash_signatures(df: DataFrame, col: str = "text", k: int = 8, shingle: in
     )
 
 
+def _band_table(df: DataFrame, col: str, k: int, bands: int, shingle: int) -> DataFrame:
+    """(doc_id, band_id, band_key) — ONE definition of the LSH band keys so
+    the pair join and the bucket audit always describe the same buckets
+    (band key = md5 of the '|'-joined row hashes of that band)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, col, k, shingle)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     col: str = "text",
@@ -90,20 +110,7 @@ def minhash_lsh_pairs(
     mega-cluster is better handled by the cheaper exact tier — identical
     docs share an exact_fp — or by clustering on the bucket key directly).
     Audit what a cap would drop with ``lsh_bucket_stats``. None disables."""
-    rows = k // bands
-    sigs = minhash_signatures(df, col, k, shingle)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
-                "band_key"
-            ),
-        )
-        for b in range(bands)
-    ]
-    exploded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    exploded = _band_table(df, col, k, bands, shingle)
     # self-join: without materialization, BOTH sides recompute the whole
     # shingle→minhash pipeline. localCheckpoint (eager) computes the band
     # table ONCE — digests only, bands × 16-byte keys per doc, tiny relative
@@ -146,20 +153,9 @@ def lsh_bucket_stats(
     ``max_bucket`` (returns (band_id, band_key, n_docs), largest first).
     Run this before a production dedup pass: any bucket in the thousands is
     a mega-cluster the pair join should not expand."""
-    sigs = minhash_signatures(df, col, k, shingle)
-    rows = k // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
     return (
-        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
-        .groupBy("band.band_id", "band.band_key")
+        _band_table(df, col, k, bands, shingle)
+        .groupBy("band_id", "band_key")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"))
     )

@@ -253,6 +253,11 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
         n = read_long(buf)
         if n == 0:
             break
+        if n < 0:
+            # spec: a negative block count is followed by the block's byte
+            # size (an optimization for skipping); consume it or the next
+            # key length desynchronizes
+            read_long(buf)
         for _ in range(abs(n)):
             k = read_bytes(buf).decode()
             meta[k] = read_bytes(buf)

@@ -263,9 +263,12 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 if evict and n_emitted == 0:
                     del states[conv_id]
                 elif st.complete:
-                    # a capped drain just finished the conversation
-                    states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
+                    # a capped drain just finished the conversation — same
+                    # completion contract as the arrival path: eager cleanup
+                    # under cleanup_on_complete, else a compact tombstone
                     del states[conv_id]
+                    if not cfg.cleanup_on_complete:
+                        states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
                 else:
                     states[conv_id] = _conv_dumps(st)
             if cfg.evict_idle_after_heartbeats is not None and _TOMBS in states:
@@ -334,6 +337,11 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                     else:
                         states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
                 else:
+                    # if this conv was resurrected from a tombstone (a
+                    # post-final turn re-opened a gap), the tombstone is now
+                    # stale state — drop it so a later TTL eviction or
+                    # re-delivery can't consult regressed counters
+                    states.get(_TOMBS, {}).pop(conv_id, None)
                     touched[conv_id] = st
             # Adaptive entry encoding: pre-pickled bytes pay off when MOST
             # entries are untouched next batch (their bytes memcpy through
@@ -383,10 +391,15 @@ def make_sharded_func(cfg: OrderedStreamConfig):
 
 
 def ordered_stream_sharded(
-    df: DataFrame, cfg: OrderedStreamConfig | None = None, n_shards: int = 256
+    df: DataFrame, cfg: OrderedStreamConfig | None = None, n_shards: int | None = None
 ) -> DataFrame:
     """Sharded-state ordered processor: same unified data+status output as
-    ordered_stream (STREAM_OUTPUT_SCHEMA), state keyed by hash shard."""
+    ordered_stream (STREAM_OUTPUT_SCHEMA), state keyed by hash shard.
+    n_shards=None resolves through streaming.resolve_n_shards (the single
+    default definition)."""
+    from . import resolve_n_shards
+
+    n_shards = resolve_n_shards(df, n_shards)
     cfg = cfg or OrderedStreamConfig()
     timeout = "ProcessingTimeTimeout" if cfg.status_heartbeat_ms else "NoTimeout"
     sharded = df.withColumn(

@@ -103,13 +103,25 @@ def _iceberg_epoch_committed(spark: SparkSession, table: str, epoch_id: int) -> 
     the Iceberg analog of the parquet path's _SUCCESS-marker skip. Snapshot
     metadata is small and bounded by expire_snapshots maintenance; the scan
     is metadata-only (no data files touched)."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
     try:
         rows = spark.sql(
-            f"SELECT summary['ordered.epoch'] AS e FROM {table}.snapshots"
+            # pushed-down + LIMIT 1: snapshot metadata grows with stream
+            # lifetime, so never collect the whole list per batch
+            f"SELECT 1 FROM {table}.snapshots "
+            f"WHERE summary['ordered.epoch'] = '{int(epoch_id)}' LIMIT 1"
         ).collect()
+    except AnalysisException:
+        # the table (or its catalog) cannot be RESOLVED — nothing can have
+        # been committed to it; if the catalog is genuinely misconfigured
+        # the append below fails loudly anyway
+        return False
     except Exception:
-        return False  # table absent on first epoch → nothing committed yet
-    return any(r.e == str(epoch_id) for r in rows)
+        # a TRANSIENT metastore/network error must NOT silently allow a
+        # duplicate append — surface it and let the stream retry the batch
+        raise
+    return bool(rows)
 
 
 def _write_idempotent(df: DataFrame, base: str, epoch_id: int) -> None:
@@ -256,13 +268,20 @@ def export_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
 
         schema = _json.loads(schema_json)
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
-        with open(fname, "wb") as f:
+        # write-to-temp + atomic rename = the task-commit protocol: a task
+        # that dies mid-write leaves only an orphan .tmp (never a readable
+        # partial .avro), and a retry/speculative attempt renaming onto the
+        # SAME deterministic final name replaces rather than duplicates
+        final = os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
             n = avro_io.write_ocf(f, schema, batches, codec=codec)
         if n == 0:
-            os.remove(fname)  # empty partition → no file (Spark convention)
-            fname = None
-        yield _pd.DataFrame({"file": [fname], "n_rows": [n]})
+            os.remove(tmp)  # empty partition → no file (Spark convention)
+            final = None
+        else:
+            os.replace(tmp, final)
+        yield _pd.DataFrame({"file": [final], "n_rows": [n]})
 
     parts = df.mapInPandas(write_parts, "file string, n_rows long").collect()
     with open(os.path.join(path, "_SUCCESS"), "w"):
@@ -279,7 +298,19 @@ def export_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     if fmt == "avro":
         try:
             df.write.format("avro").mode("overwrite").save(path)
-        except Exception:  # spark-avro jar not on the classpath
+        except Exception as e:
+            # fall back ONLY for the missing-jar case (Spark's
+            # DATA_SOURCE_NOT_FOUND / ClassNotFound for the avro format);
+            # any other failure (disk full, bad data, task OOM) must
+            # surface — silently re-exporting would mask it and mix
+            # partial jar output with fallback files
+            msg = str(e)
+            if not (
+                "Failed to find" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFoundException" in msg
+            ):
+                raise
             export_avro_python(df, path)
     elif fmt == "json":
         df.write.mode("overwrite").json(path)
@@ -312,6 +343,19 @@ def _check_engine_marker(checkpoint: str, engine: str, n_shards: int | None) -> 
         os.makedirs(path, exist_ok=True)
     marker = os.path.join(path, "_ordered_engine.json")
     current = {"engine": engine, "n_shards": n_shards if engine == "sharded" else None}
+    if not os.path.exists(marker) and os.path.isdir(os.path.join(path, "offsets")):
+        # committed streaming state exists but predates the marker — its
+        # n_shards is unknowable, so resuming under ANY assumed value may
+        # silently re-key conversations (especially since the default
+        # changed from a constant to 8×parallelism). Refuse; the operator
+        # who knows the original config can create the marker by hand.
+        raise ValueError(
+            f"checkpoint {checkpoint!r} has committed state but no "
+            "_ordered_engine.json marker (written before engine-config "
+            "pinning). Create the marker manually with the ORIGINAL config, "
+            'e.g. {"engine": "sharded", "n_shards": 256}, or start a fresh '
+            "checkpoint — guessing would silently re-key state."
+        )
     if os.path.exists(marker):
         import json
 
@@ -349,10 +393,10 @@ def start_ordered_pipeline(
     BENCH/BASELINE.md shard sweep); the choice is pinned in a checkpoint
     marker and validated on resume.
     """
-    from . import build_ordered_stream
+    from . import build_ordered_stream, resolve_n_shards
 
-    if engine == "sharded" and n_shards is None:
-        n_shards = 8 * source.sparkSession.sparkContext.defaultParallelism
+    if engine == "sharded":
+        n_shards = resolve_n_shards(source, n_shards)
     if sink.checkpoint:
         _check_engine_marker(sink.checkpoint, engine, n_shards)
     unified = build_ordered_stream(source, stream_cfg, engine=engine, n_shards=n_shards)

@@ -116,10 +116,22 @@ _WM_UNITS = {
 }
 
 
-def _watermark_seconds(watermark: str) -> float:
-    """Parse a Spark delay-threshold string ('10 minutes', '1 hour')."""
-    value, unit = watermark.strip().split()
-    return float(value) * _WM_UNITS[unit.rstrip("s").lower()]
+def _watermark_seconds(watermark: str) -> float | None:
+    """Parse a Spark delay-threshold string leniently: '10 minutes',
+    '1 hour 30 minutes', 'interval 2 days'… Returns None for strings it
+    cannot understand — the caller's state guard then FAILS OPEN (Spark
+    itself will reject a truly invalid threshold), rather than rejecting a
+    Spark-valid config with a confusing unpack error."""
+    tokens = [t for t in watermark.replace(",", " ").split() if t.lower() != "interval"]
+    if len(tokens) < 2 or len(tokens) % 2:
+        return None
+    total = 0.0
+    for value, unit in zip(tokens[::2], tokens[1::2]):
+        try:
+            total += float(value) * _WM_UNITS[unit.rstrip("s").lower()]
+        except (ValueError, KeyError):
+            return None
+    return total
 
 
 def start_first_match_join_pipeline(
@@ -139,7 +151,8 @@ def start_first_match_join_pipeline(
     and is a scale-killer. Watermarks over 1 hour are refused unless
     ``bounded_input=True`` (a finite replay/backfill, where retaining
     everything until the source drains is deliberate and safe)."""
-    if not bounded_input and _watermark_seconds(watermark) > 3600.0:
+    wm_s = _watermark_seconds(watermark)
+    if not bounded_input and wm_s is not None and wm_s > 3600.0:
         raise ValueError(
             f"watermark {watermark!r} retains stream-stream join state for "
             "that entire horizon — unbounded state growth on a continuous "

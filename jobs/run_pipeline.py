@@ -174,10 +174,12 @@ def main() -> int:
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+    from dataflow_ordered_processing_spark.streaming import resolve_n_shards
+
     src = reader.parquet(args.source)
     n_shards = args.n_shards
-    if args.engine == "sharded" and n_shards is None:
-        n_shards = 8 * spark.sparkContext.defaultParallelism
+    if args.engine == "sharded":
+        n_shards = resolve_n_shards(src, n_shards)
     _check_engine_marker(args.checkpoint, args.engine, n_shards)
     unified = build_ordered_stream(src, cfg, engine=args.engine, n_shards=n_shards)
     writer = (

@@ -385,3 +385,69 @@ def test_pricing_summary_micros_deterministic(spark, sf_dir):
     finally:
         rel._t = orig
     assert a == b
+
+
+# --------------------------------------- review round-2 findings (r3b)
+
+def test_marker_refuses_premarker_checkpoint(tmp_path):
+    """A checkpoint with committed state but no engine marker predates
+    config pinning — its n_shards is unknowable, so resume must refuse
+    instead of guessing (the default changed, silent re-keying risk)."""
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with pytest.raises(ValueError, match="no.*marker|marker"):
+        _check_engine_marker(ckpt, "sharded", 256)
+
+
+def test_sweep_completion_honors_cleanup_on_complete():
+    """A capped drain finishing a conversation during a heartbeat sweep
+    must follow the same completion contract as the arrival path: eager
+    cleanup under cleanup_on_complete=True (no tombstone)."""
+    cfg = OrderedStreamConfig(
+        status_heartbeat_ms=50, max_emit_per_batch=5, cleanup_on_complete=True
+    )
+    func = make_sharded_func(cfg)
+    # pending buffer holds the full conversation incl. the end sentinel;
+    # the sweep's drain completes it
+    import numpy as np
+
+    buf = {
+        "turn_idx": np.array([1, 2, 3], dtype="int64"),
+        "role": np.array(["user", "assistant", core.END_ROLE], dtype=object),
+        "text": np.array(["a", "b", core.END_TEXT], dtype=object),
+        "tool": np.array([None] * 3, dtype=object),
+        "ts_us": np.array([1, 2, 3], dtype="int64"),
+    }
+    from dataflow_ordered_processing_spark.streaming.ordered_sharded import (
+        _conv_to_tuple,
+    )
+
+    st0 = core.OrderedState(last_emitted=0, buffer=buf)
+    st0.last_event_received = True
+    state = _FakeState(_state_with({"cC": _conv_to_tuple(st0)}), timed_out=True)
+    data, _ = _collect(func((0,), iter([]), state))
+    assert [t for _, t in data] == [1, 2, 3]
+    assert not state.exists  # eager cleanup: no tombstone, state freed
+
+
+def test_resurrected_conv_drops_stale_tombstone():
+    """A post-final turn that re-opens a gap resurrects the conversation
+    from its tombstone; the stale tombstone must not survive alongside the
+    active state."""
+    func = make_sharded_func(OrderedStreamConfig(status_heartbeat_ms=50))
+    state = _completed_conv()  # cX complete at turn 3, tombstoned
+    # bogus post-final turn 5 arrives (gap at 4) → resurrect as pending
+    list(func((0,), iter([_shard_batch_rows([("cX", 5)])]), state))
+    d = pickle.loads(state.get[0])
+    assert "cX" in {k for k in d if isinstance(k, str)}  # active again
+    assert "cX" not in d.get(_TOMBS, {})  # stale tombstone dropped
+
+
+def test_watermark_parser_lenient():
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        _watermark_seconds,
+    )
+
+    assert _watermark_seconds("1 hour 30 minutes") == 5400.0
+    assert _watermark_seconds("interval 2 days") == 172800.0
+    assert _watermark_seconds("complete gibberish here") is None  # fails open

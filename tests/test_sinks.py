@@ -209,16 +209,18 @@ def test_iceberg_sink_contract(spark, tmp_path, monkeypatch):
 
 
 def test_iceberg_epoch_committed_reads_snapshot_summaries():
-    """_iceberg_epoch_committed consults the table's .snapshots metadata:
-    present epoch → True, absent → False, missing table (first epoch, or no
-    Iceberg catalog at all) → False."""
+    """_iceberg_epoch_committed issues a pushed-down LIMIT-1 probe against
+    the table's .snapshots metadata (never a full collect): present epoch →
+    True, absent → False, missing table (first epoch / no catalog) → False,
+    and a TRANSIENT error must RAISE (returning False would permit a
+    duplicate append on replay)."""
+    import re
+
+    import pytest as _pytest
+
     from dataflow_ordered_processing_spark.streaming.sinks import (
         _iceberg_epoch_committed,
     )
-
-    class _Row:
-        def __init__(self, e):
-            self.e = e
 
     class _FakeResult:
         def __init__(self, rows):
@@ -228,17 +230,25 @@ def test_iceberg_epoch_committed_reads_snapshot_summaries():
             return self._rows
 
     class _FakeSpark:
-        def __init__(self, rows=None, fail=False):
-            self._rows = rows or []
-            self._fail = fail
+        def __init__(self, committed=(), error=None):
+            self._committed = set(committed)
+            self._error = error
 
         def sql(self, q):
-            assert ".snapshots" in q
-            if self._fail:
-                raise RuntimeError("Table or view not found")
-            return _FakeResult(self._rows)
+            assert ".snapshots" in q and "LIMIT 1" in q  # pushed-down probe
+            if self._error is not None:
+                raise self._error
+            epoch = re.search(r"= '(\d+)'", q).group(1)
+            return _FakeResult([1] if epoch in self._committed else [])
 
-    snaps = [_Row("1"), _Row("2"), _Row(None)]
-    assert _iceberg_epoch_committed(_FakeSpark(snaps), "t", 2)
-    assert not _iceberg_epoch_committed(_FakeSpark(snaps), "t", 7)
-    assert not _iceberg_epoch_committed(_FakeSpark(fail=True), "t", 0)
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    assert _iceberg_epoch_committed(_FakeSpark({"1", "2"}), "t", 2)
+    assert not _iceberg_epoch_committed(_FakeSpark({"1", "2"}), "t", 7)
+    # unresolvable table/catalog (AnalysisException) → nothing committed
+    assert not _iceberg_epoch_committed(
+        _FakeSpark(error=AnalysisException("[TABLE_OR_VIEW_NOT_FOUND] t")), "t", 0
+    )
+    # transient runtime error → must raise (silent False = duplicate append)
+    with _pytest.raises(RuntimeError, match="connection reset"):
+        _iceberg_epoch_committed(_FakeSpark(error=RuntimeError("connection reset")), "t", 0)
