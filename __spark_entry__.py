@@ -550,6 +550,12 @@ def _q_top_brands(spark, sf_dir):
     return relational.top_brands_by_revenue(spark, sf_dir)
 
 
+def _q_supplier_volume(spark, sf_dir):
+    from dataflow_ordered_processing_spark.plans import relational
+
+    return relational.supplier_nation_volume(spark, sf_dir)
+
+
 def _q_order_priority(spark, sf_dir):
     from dataflow_ordered_processing_spark.plans import relational
 
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_brands_by_revenue": _q_top_brands,
         "order_priority_counts": _q_order_priority,
+        "supplier_nation_volume": _q_supplier_volume,
         "vocab_topk": _q_vocab_topk,
         "doc_length_stats": _q_doc_length_stats,
         "stream_dedup": _q_stream_dedup,
@@ -1006,6 +1013,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1
+        """,
+        "supplier_nation_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS volume_micros,
+                   CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
             GROUP BY 1
         """,
         "vocab_topk": """

@@ -98,6 +98,24 @@ def top_brands_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
     )
 
 
+def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-flavored: shipped volume per supplier nation — lineitem ⋈
+    supplier ⋈ nation with both dimensions broadcast; quantity summed as
+    integer micros (order-independent)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_micros(F.col("l_quantity"))).alias("volume_micros"),
+            F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
+        )
+    )
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 analog: orders per priority that have at least one line item
     shipped after the order date — a semi-join (EXISTS) the optimizer turns
