@@ -20,9 +20,9 @@ def build_ordered_stream(source, cfg=None, engine="classic", n_shards=None):
     sink wiring, and the test harness): 'classic' = state per conv_id,
     'sharded' = state per hash shard (same output, ~3x throughput)."""
     if engine == "sharded":
-        return ordered_stream_sharded(
-            source, cfg, n_shards=resolve_n_shards(source, n_shards)
-        )
+        # ordered_stream_sharded resolves n_shards=None itself (through
+        # resolve_n_shards) — pass through, don't resolve twice
+        return ordered_stream_sharded(source, cfg, n_shards=n_shards)
     if engine == "classic":
         return ordered_stream(source, cfg)
     raise ValueError(f"unknown engine {engine!r}")

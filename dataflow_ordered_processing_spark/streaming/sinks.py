@@ -261,6 +261,13 @@ def export_avro_python(df: DataFrame, path: str, codec: str = "deflate") -> int:
     avro_schema = avro_io.spark_schema_to_avro(df.schema)
     schema_json = _json.dumps(avro_schema)
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics like the jar path's mode('overwrite'): clear any
+    # previous export — with deterministic part names, a re-export that
+    # produces FEWER partitions would otherwise leave stale higher-numbered
+    # parts mixed with fresh ones under a rewritten _SUCCESS
+    for old in os.listdir(path):
+        if old.endswith((".avro", ".tmp")) or old == "_SUCCESS":
+            os.remove(os.path.join(path, old))
 
     def write_parts(batches):
         import pandas as _pd

@@ -128,7 +128,9 @@ def _watermark_seconds(watermark: str) -> float | None:
     total = 0.0
     for value, unit in zip(tokens[::2], tokens[1::2]):
         try:
-            total += float(value) * _WM_UNITS[unit.rstrip("s").lower()]
+            # lower() BEFORE rstrip('s'): 'HOURS'.rstrip('s') keeps the
+            # uppercase S and would silently bypass the guard
+            total += float(value) * _WM_UNITS[unit.lower().rstrip("s")]
         except (ValueError, KeyError):
             return None
     return total

@@ -451,3 +451,15 @@ def test_watermark_parser_lenient():
     assert _watermark_seconds("1 hour 30 minutes") == 5400.0
     assert _watermark_seconds("interval 2 days") == 172800.0
     assert _watermark_seconds("complete gibberish here") is None  # fails open
+
+
+def test_watermark_parser_case_insensitive():
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        _watermark_seconds,
+        start_first_match_join_pipeline,
+    )
+
+    assert _watermark_seconds("24 HOURS") == 86400.0  # uppercase must parse
+    assert _watermark_seconds("10 Minutes") == 600.0
+    with pytest.raises(ValueError, match="unbounded state"):
+        start_first_match_join_pipeline(None, "x", "y", watermark="24 HOURS")

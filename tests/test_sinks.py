@@ -252,3 +252,21 @@ def test_iceberg_epoch_committed_reads_snapshot_summaries():
     # transient runtime error → must raise (silent False = duplicate append)
     with _pytest.raises(RuntimeError, match="connection reset"):
         _iceberg_epoch_committed(_FakeSpark(error=RuntimeError("connection reset")), "t", 0)
+
+
+def test_export_avro_overwrite_clears_stale_parts(spark, tmp_path):
+    """Re-exporting into the same directory with fewer partitions must not
+    leave stale higher-numbered part files (overwrite semantics, matching
+    the jar path's mode('overwrite'))."""
+    import glob
+
+    from dataflow_ordered_processing_spark.sources.avro_io import read_ocf
+
+    out = str(tmp_path / "a")
+    export_table(_df(spark).repartition(4), out, "avro")
+    first = set(glob.glob(out + "/part-*.avro"))
+    export_table(_df(spark).coalesce(1), out, "avro")
+    files = glob.glob(out + "/part-*.avro")
+    rows = sum(len(read_ocf(f)[1]) for f in files)
+    assert rows == 3  # no stale rows from the 4-partition export
+    assert not (set(files) & first) or len(files) < len(first)

@@ -37,8 +37,20 @@ def main() -> int:
 
     src = os.path.join(args.workdir, "src")
     out = os.path.join(args.workdir, "out")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+    # regenerate unless an existing dataset matches THIS workload — reusing
+    # a stale cache would mislabel the evidence artifact
+    gen_cfg = {"rows": args.rows, "convs": args.convs, "files": args.files}
+    cfg_marker = os.path.join(args.workdir, "gen_config.json")
+    cached = (
+        os.path.exists(os.path.join(src, "_SUCCESS"))
+        and os.path.exists(cfg_marker)
+        and json.load(open(cfg_marker)) == gen_cfg
+    )
+    if not cached:
+        shutil.rmtree(src, ignore_errors=True)
         n = generate_input(src, args.rows, args.convs, cpus=args.cpus, files=args.files)
+        with open(cfg_marker, "w") as f:
+            json.dump(gen_cfg, f)
         print(f"generated {n} rows", file=sys.stderr)
 
     from dataflow_ordered_processing_spark.operators.ordered_batch import (
@@ -57,6 +69,8 @@ def main() -> int:
     ordered_emit_batch(df, impl=args.impl).write.mode("overwrite").parquet(out)
     wall = time.time() - t0
     n_out = spark.read.parquet(out).count()
+    # self-verifying artifact: the rate claim is meaningless if rows dropped
+    assert n_out == n_in, f"ordered output lost rows: {n_out} != {n_in}"
     result = {
         "rows_in": n_in,
         "rows_out": n_out,
