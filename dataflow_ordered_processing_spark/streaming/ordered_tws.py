@@ -79,6 +79,13 @@ class TwsConfig:
     emit_status_every_batch: bool = True
     initial_turn_idx: int = core.INITIAL_TURN_IDX
     state_ttl_ms: int | None = None  # native per-state TTL (bounds zombie keys)
+    # O9 (maxOutputElementsPerBundle analog): cap each invocation's drain;
+    # the CONTIGUOUS remainder stays buffered and drains on the key's next
+    # arrival. Divergence from the classic engine (documented): this engine
+    # runs timeMode="none", so a capped remainder with NO further arrivals
+    # waits indefinitely — pair a cap with arrivals-driven workloads, or
+    # use the classic engine whose heartbeat timer flushes remainders.
+    max_emit_per_batch: int | None = None
 
 
 _DEFAULT_CURSOR = (0, 0, 0, 0, False, 0, 0, 0, 0, 0, 0, 0)
@@ -149,7 +156,14 @@ class OrderedProcessor(StatefulProcessor):
             "ts_us": core.ts_to_us(batch["ts"]).to_numpy()[keep],
         }
 
-        gap_closed = len(kidx) > 0 and int(kidx[0]) == last_emitted + 1
+        cap = cfg.max_emit_per_batch
+        # drain is possible when the arrival touches the cursor OR a capped
+        # earlier drain left the buffer head contiguous (buf_min is exact:
+        # an uncapped engine never buffers contiguous turns, a capped one
+        # does precisely at the head)
+        gap_closed = (len(kidx) > 0 and int(kidx[0]) == last_emitted + 1) or (
+            buf_count > 0 and buf_min == last_emitted + 1
+        )
         emitted_cols = None
 
         if buf_count == 0:
@@ -157,6 +171,8 @@ class OrderedProcessor(StatefulProcessor):
             expect = last_emitted + 1 + np.arange(len(kidx), dtype=np.int64)
             mismatch = np.nonzero(kidx != expect)[0]
             n_emit = int(mismatch[0]) if len(mismatch) else len(kidx)
+            if cap is not None:
+                n_emit = min(n_emit, cap)
             emitted_cols = {c: v[:n_emit] for c, v in cols.items()}
             rest = {c: v[n_emit:] for c, v in cols.items()}
             if len(rest["turn_idx"]):
@@ -206,6 +222,8 @@ class OrderedProcessor(StatefulProcessor):
             expect = last_emitted + 1 + np.arange(len(mkidx), dtype=np.int64)
             mismatch = np.nonzero(mkidx != expect)[0]
             n_emit = int(mismatch[0]) if len(mismatch) else len(mkidx)
+            if cap is not None:
+                n_emit = min(n_emit, cap)
             emitted_cols = {c: v[mkeep[:n_emit]] for c, v in merged.items()}
             rest_ix = mkeep[n_emit:]
             if len(rest_ix):

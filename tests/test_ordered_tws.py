@@ -19,6 +19,7 @@ Two tiers of evidence:
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from dataflow_ordered_processing_spark.sources.scenarios import scenario, serial_oracle
 from dataflow_ordered_processing_spark.streaming.ordered_tws import (
@@ -295,3 +296,75 @@ def test_tws_body_append_only_until_gap_closes():
     data = pd.concat(out)
     emitted = data[data["row_type"] == "data"]["turn_idx"].astype(int).tolist()
     assert emitted == [1, 2, 3, 4, 5]
+
+
+def test_tws_body_capped_drain_resumes_on_next_arrival():
+    """O9: max_emit_per_batch caps each invocation's drain; the contiguous
+    remainder drains on subsequent arrivals for the key (this engine has no
+    timers — divergence documented in TwsConfig)."""
+    import datetime
+
+    p = OrderedProcessor(TwsConfig(max_emit_per_batch=2))
+    p.init(FakeHandle())
+
+    def rows(*turns):
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(turns),
+                "turn_idx": pd.Series(turns, dtype="int32"),
+                "role": ["user"] * len(turns),
+                "text": [f"t{t}" for t in turns],
+                "tool": [None] * len(turns),
+                "ts": [datetime.datetime(2026, 1, 1)] * len(turns),
+            }
+        )
+
+    def feed(*turns):
+        out = []
+        for f in p.handleInputRows(("c",), iter([rows(*turns)]), None):
+            d = f[f["row_type"] == "data"]
+            out.extend(int(t) for t in d["turn_idx"])
+        return out
+
+    assert feed(3, 1, 2, 4, 5) == [1, 2]  # capped at 2, rest buffered
+    # a duplicate re-delivery is enough of an arrival to resume the drain
+    assert feed(1) == [3, 4]
+    assert feed(1) == [5]
+    assert feed(6) == [6]  # back to normal flow once drained
+
+
+@given(st.permutations([1, 2, 3, 4, 5, 6, 7]), st.integers(min_value=1, max_value=3))
+@settings(max_examples=50, deadline=None)
+def test_tws_body_cap_never_changes_final_result(perm, cap):
+    """Property: any cap, any arrival order — once enough arrivals flush the
+    remainder, the emitted sequence equals the uncapped serial result."""
+    import datetime
+
+    from hypothesis import assume
+
+    p = OrderedProcessor(TwsConfig(max_emit_per_batch=cap))
+    p.init(FakeHandle())
+    emitted = []
+
+    def feed(turns):
+        frames = pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(turns),
+                "turn_idx": pd.Series(turns, dtype="int32"),
+                "role": ["user"] * len(turns),
+                "text": [f"t{t}" for t in turns],
+                "tool": [None] * len(turns),
+                "ts": [datetime.datetime(2026, 1, 1)] * len(turns),
+            }
+        )
+        for f in p.handleInputRows(("c",), iter([frames]), None):
+            d = f[f["row_type"] == "data"]
+            emitted.extend(int(t) for t in d["turn_idx"])
+
+    for t in perm:
+        feed([t])
+    for _ in range(10):  # duplicate re-deliveries flush the capped remainder
+        if len(emitted) == 7:
+            break
+        feed([1])
+    assert emitted == [1, 2, 3, 4, 5, 6, 7]
