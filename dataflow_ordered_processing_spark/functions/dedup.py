@@ -94,7 +94,7 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
     shingle: int = 5,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band key.
     k MinHashes split into `bands` bands of k/bands rows each; band key =
@@ -109,7 +109,12 @@ def minhash_lsh_pairs(
     dropped from candidate generation (standard LSH practice: such a
     mega-cluster is better handled by the cheaper exact tier — identical
     docs share an exact_fp — or by clustering on the bucket key directly).
-    Audit what a cap would drop with ``lsh_bucket_stats``. None disables."""
+    Audit what a cap would drop with ``lsh_bucket_stats``. The cap is
+    OPT-IN (default None = exhaustive candidates): silently dropping pairs
+    is a semantic change callers must ask for, and any oracle/expectation
+    checked against this function must model the same cap. A production
+    100-TB pass should set it (1024 is a reasonable ceiling) after reviewing
+    ``lsh_bucket_stats``."""
     exploded = _band_table(df, col, k, bands, shingle)
     # self-join: without materialization, BOTH sides recompute the whole
     # shingle→minhash pipeline. localCheckpoint (eager) computes the band

@@ -8,7 +8,10 @@ per-row DOUBLE arithmetic (bit-identical across engines for identical
 inputs) folded to an INTEGER number of micro-units via
 ``floor(x * 1e6 + 0.5)`` — floor is exactly defined on the identical
 double, and BIGINT sums are associative. Suffix ``_micros`` marks those
-columns; divide by 1e6 downstream for display.
+columns; divide by 1e6 downstream for display. Overflow stance: BIGINT
+sums bound the per-group row count (see ``_sum_micros``); pass
+``exact_decimal=True`` (DECIMAL(38,0) accumulator) or enable ANSI mode for
+groups that can exceed it.
 
 At 100 TB: `lineitem` is the fact table — everything joins to it via
 BROADCAST (nation 25 rows, region 5, customer/part/supplier thousands —
@@ -29,11 +32,36 @@ def _micros(col: F.Column) -> F.Column:
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 
+def _sum_micros(col: F.Column, exact_decimal: bool) -> F.Column:
+    """Order-independent money sum with an explicit overflow stance.
+
+    BIGINT mode (default, driver-oracle-compatible): int64 overflows at
+    9.2e18 micros, i.e. ~9.2e12 in display units per group — TPC-H-style
+    line amounts (~1e5 → 1e11 micros) are safe to ~9e7 rows PER GROUP.
+    Under Spark 4's default ANSI mode an overflow raises
+    ARITHMETIC_OVERFLOW (loud, verified in test_round4_regressions); a
+    deployment that sets spark.sql.ansi.enabled=false instead WRAPS
+    SILENTLY. Either way, a 100-TB run whose groups can exceed the bound
+    (e.g. a Q1-style 4-group rollup over the whole fact table) should pass
+    exact_decimal=True rather than fail or wrap.
+
+    DECIMAL mode (exact_decimal=True): sums into DECIMAL(38,0) — exact to
+    1e38 micros, unconditionally safe at 100 TB. Not the default only
+    because the correctness gate compares pandas dtypes bit-exactly and
+    DuckDB lowers DECIMAL(38,0) to float64 while Spark yields
+    decimal.Decimal objects — an engine-conversion artifact, not a Spark
+    semantics issue."""
+    m = _micros(col)
+    return F.sum(m.cast("decimal(38,0)") if exact_decimal else m)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pricing_summary(
+    spark: SparkSession, sf_dir: str, exact_decimal: bool = False
+) -> DataFrame:
     """TPC-H Q1 analog: pricing summary report over lineitem. One scan, one
     shuffle of 4-ish grouped rows (map-side partial agg does the work)."""
     l = _t(spark, sf_dir, "lineitem")
@@ -42,16 +70,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_micros(F.col("l_quantity"))).alias("sum_qty_micros"),
-            F.sum(_micros(F.col("l_extendedprice"))).alias("sum_base_price_micros"),
-            F.sum(_micros(disc_price)).alias("sum_disc_price_micros"),
-            F.sum(_micros(charge)).alias("sum_charge_micros"),
+            _sum_micros(F.col("l_quantity"), exact_decimal).alias("sum_qty_micros"),
+            _sum_micros(F.col("l_extendedprice"), exact_decimal).alias(
+                "sum_base_price_micros"
+            ),
+            _sum_micros(disc_price, exact_decimal).alias("sum_disc_price_micros"),
+            _sum_micros(charge, exact_decimal).alias("sum_charge_micros"),
             F.count("*").cast("long").alias("count_order"),
         )
     )
 
 
-def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_by_nation(
+    spark: SparkSession, sf_dir: str, exact_decimal: bool = False
+) -> DataFrame:
     """TPC-H Q5-flavored: revenue per (region, nation) for orders in 1995.
     Plan shape: the o_orderdate filter pushes into the orders scan;
     customer/nation/region broadcast (no fact-table shuffle for the joins);
@@ -63,7 +95,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    revenue = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # NB: orders gets a broadcast hint because the 1995 filter shrinks it to
     # a fraction of a small table at test scale; at 100 TB orders is a fact
     # table and the hint should be dropped so Catalyst picks a shuffle join
@@ -76,29 +108,33 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(revenue).alias("revenue_micros"),
+            _sum_micros(revenue, exact_decimal).alias("revenue_micros"),
             F.count("*").cast("long").alias("n_items"),
         )
     )
 
 
-def top_brands_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+def top_brands_by_revenue(
+    spark: SparkSession, sf_dir: str, k: int = 10, exact_decimal: bool = False
+) -> DataFrame:
     """Top-k part brands by discounted revenue: broadcast part into the
     lineitem scan, aggregate by brand (partial agg), TakeOrdered(k) — no
     global sort. Deterministic tie-break on brand."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    revenue = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
-        .agg(F.sum(revenue).alias("revenue_micros"))
+        .agg(_sum_micros(revenue, exact_decimal).alias("revenue_micros"))
         .orderBy(F.desc("revenue_micros"), F.asc("p_brand"))
         .limit(k)
     )
 
 
-def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def supplier_nation_volume(
+    spark: SparkSession, sf_dir: str, exact_decimal: bool = False
+) -> DataFrame:
     """TPC-H Q7-flavored: shipped volume per supplier nation — lineitem ⋈
     supplier ⋈ nation with both dimensions broadcast; quantity summed as
     integer micros (order-independent)."""
@@ -110,7 +146,7 @@ def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(_micros(F.col("l_quantity"))).alias("volume_micros"),
+            _sum_micros(F.col("l_quantity"), exact_decimal).alias("volume_micros"),
             F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
         )
     )

@@ -64,14 +64,23 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas needs google.protobuf on the python side."""
+def tws_probe_error() -> str | None:
+    """Why transformWithStateInPandas cannot run here, or None if it can.
+    The probe IS the skip condition for the Spark-runtime test tier: pyspark's
+    state-server protocol imports StateMessage_pb2 (google.protobuf) on the
+    Python side, so an image that gains protobuf flips this to None and the
+    skipped tests auto-activate with zero manual steps."""
     try:
         import google.protobuf  # noqa: F401
 
-        return True
-    except ImportError:
-        return False
+        return None
+    except ImportError as e:
+        return f"{type(e).__name__}: {e}"
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf on the python side."""
+    return tws_probe_error() is None
 
 
 @dataclass(frozen=True)
@@ -81,11 +90,31 @@ class TwsConfig:
     state_ttl_ms: int | None = None  # native per-state TTL (bounds zombie keys)
     # O9 (maxOutputElementsPerBundle analog): cap each invocation's drain;
     # the CONTIGUOUS remainder stays buffered and drains on the key's next
-    # arrival. Divergence from the classic engine (documented): this engine
-    # runs timeMode="none", so a capped remainder with NO further arrivals
-    # waits indefinitely — pair a cap with arrivals-driven workloads, or
-    # use the classic engine whose heartbeat timer flushes remainders.
+    # arrival. Divergence from the classic engine (ENFORCED at config time,
+    # see __post_init__): this engine runs timeMode="none", so a capped
+    # remainder with NO further arrivals waits indefinitely — e.g. a bounded
+    # availableNow run can end with buffered rows never emitted. Pair a cap
+    # with arrivals-driven workloads and set ack_arrivals_driven_drain=True
+    # to accept that, or use the classic engine whose heartbeat timer
+    # flushes remainders.
     max_emit_per_batch: int | None = None
+    # Explicit acknowledgement that capped remainders drain only on further
+    # arrivals for the key (no timer flush in this engine). Required when
+    # max_emit_per_batch is set — a silent strand is worse than a loud
+    # config error.
+    ack_arrivals_driven_drain: bool = False
+
+    def __post_init__(self) -> None:
+        if self.max_emit_per_batch is not None and not self.ack_arrivals_driven_drain:
+            raise ValueError(
+                "TwsConfig(max_emit_per_batch=...) on the TWS engine drains "
+                "capped remainders only when the key receives FURTHER "
+                "ARRIVALS (timeMode='none': no heartbeat flush, so a bounded "
+                "run can strand buffered rows). Pass "
+                "ack_arrivals_driven_drain=True to accept that semantics, or "
+                "use the classic/sharded engines whose heartbeat timers "
+                "flush remainders."
+            )
 
 
 _DEFAULT_CURSOR = (0, 0, 0, 0, False, 0, 0, 0, 0, 0, 0, 0)

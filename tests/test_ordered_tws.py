@@ -28,15 +28,29 @@ from dataflow_ordered_processing_spark.streaming.ordered_tws import (
     TwsConfig,
     ordered_stream_tws,
     tws_available,
+    tws_probe_error,
 )
 
 from streaming_utils import StagedStream
 
+# Skip condition AND reason both come from the import probe: an image that
+# gains protobuf makes tws_probe_error() return None and this tier runs with
+# zero manual steps; until then the skip reason carries the actual error.
 requires_tws = pytest.mark.skipif(
     not tws_available(),
-    reason="transformWithStateInPandas requires the protobuf package "
-    "(pyspark's state-server protocol); not present in this image",
+    reason="transformWithStateInPandas needs pyspark's protobuf-backed "
+    f"state-server protocol; probe: {tws_probe_error()}",
 )
+
+
+def test_tws_cap_requires_explicit_ack():
+    """ADVICE r3: a drain cap on the timerless TWS engine can strand a
+    contiguous remainder forever; that semantics must be acknowledged at
+    config time, not discovered in production."""
+    with pytest.raises(ValueError, match="ack_arrivals_driven_drain"):
+        TwsConfig(max_emit_per_batch=2)
+    TwsConfig()  # no cap → no ack required
+    TwsConfig(max_emit_per_batch=2, ack_arrivals_driven_drain=True)  # explicit opt-in
 
 CMP = ["conv_id", "turn_idx", "role", "text", "tool", "emit_seq"]
 DEPTH = ["n_user_cum", "n_assistant_cum", "n_tool_cum", "chars_cum"]
@@ -304,7 +318,7 @@ def test_tws_body_capped_drain_resumes_on_next_arrival():
     timers — divergence documented in TwsConfig)."""
     import datetime
 
-    p = OrderedProcessor(TwsConfig(max_emit_per_batch=2))
+    p = OrderedProcessor(TwsConfig(max_emit_per_batch=2, ack_arrivals_driven_drain=True))
     p.init(FakeHandle())
 
     def rows(*turns):
@@ -342,7 +356,7 @@ def test_tws_body_cap_never_changes_final_result(perm, cap):
 
     from hypothesis import assume
 
-    p = OrderedProcessor(TwsConfig(max_emit_per_batch=cap))
+    p = OrderedProcessor(TwsConfig(max_emit_per_batch=cap, ack_arrivals_driven_drain=True))
     p.init(FakeHandle())
     emitted = []
 

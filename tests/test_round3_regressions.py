@@ -207,14 +207,16 @@ def test_lsh_degenerate_bucket_capped(spark):
     # the cheaper exact tier still catches the cluster
     ex = dedup.dedup_exact(docs).collect()
     assert len(ex) == 1 and ex[0]["n_copies"] == 500
-    # an uncapped run on a small benign corpus is unchanged by the default cap
+    # a cap above every bucket size is a no-op vs the uncapped default —
+    # (r4: default flipped to None, so the cap is opt-in and this checks
+    # the capped path itself is lossless on benign data)
     benign = spark.range(6).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("distinct words for doc number "), F.col("id").cast("string")).alias("text"),
     )
     assert (
-        dedup.minhash_lsh_pairs(benign).collect()
-        == dedup.minhash_lsh_pairs(benign, max_bucket=None).collect()
+        dedup.minhash_lsh_pairs(benign, max_bucket=64).collect()
+        == dedup.minhash_lsh_pairs(benign).collect()
     )
 
 
