@@ -473,11 +473,23 @@ def _q_multimodal_features(spark, sf_dir):
 
 
 def _q_dedup_keep_first(spark, sf_dir):
-    """Near-dup resolution: LSH candidate pairs → keep the earliest doc of
-    each cluster (anti-join on doc_b)."""
+    """Near-dup resolution: LSH candidate pairs → connected components →
+    keep the minimum doc of each component (r4: full transitive closure —
+    a chain A~B~C keeps only A; the one-round single-link is still
+    available as transitive=False)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
-    return dedup.dedup_keep_first(docs, pairs).select("doc_id")
+    return dedup.dedup_keep_first(docs, pairs, transitive=True).select("doc_id")
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected-components labelling of the LSH near-dup graph: iterative
+    min-label propagation with pointer-jumping compression to fixpoint
+    (dedup.dedup_clusters) — every doc labelled by the minimum doc_id
+    transitively reachable; oracle is a recursive CTE over the same pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
+    return dedup.dedup_clusters(docs, pairs)
 
 
 def _q_lsh_bucket_stats(spark, sf_dir):
@@ -707,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal_features,
         "simhash": _q_simhash,
@@ -1052,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_ORACLE,
         "lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "simhash": _SIMHASH_ORACLE,
         "fingerprint": _FINGERPRINT_ORACLE,
@@ -1313,12 +1327,43 @@ SELECT CAST(band_id AS INTEGER) AS band_id, band_key,
 FROM bands GROUP BY 1, 2
 """
 
-# keep-first resolution on top of the LSH candidate pairs: drop every doc
-# that appears as the larger id of a pair (anti-join on doc_b)
+# transitive closure over the LSH candidate pairs (recursive CTE): labels =
+# min doc_id reachable through the undirected pair graph — the exact oracle
+# for dedup_clusters' min-label-propagation fixpoint
+_CLUSTER_LABELS_CTES = (
+    "WITH RECURSIVE pairs AS (" + _MINHASH_ORACLE + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)"""
+)
+
+_DEDUP_CLUSTERS_ORACLE = (
+    _CLUSTER_LABELS_CTES
+    + """
+SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""
+)
+
+# keep-first resolution = keep each component's minimum doc (r4: transitive,
+# matching dedup_keep_first(transitive=True))
 _DEDUP_KEEP_FIRST_ORACLE = (
-    "WITH pairs AS (" + _MINHASH_ORACLE + ")\n"
-    "SELECT d.doc_id FROM documents d\n"
-    "WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)"
+    _CLUSTER_LABELS_CTES
+    + """
+SELECT d.doc_id FROM documents d LEFT JOIN labels l USING (doc_id)
+WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
+"""
 )
 
 _SHINGLES3 = (

@@ -45,3 +45,90 @@ def test_micros_sum_decimal_survives_int64_overflow(spark):
     # sanity: the per-row fold is what it claims
     one = small.select(_micros(F.col("x")).alias("m")).orderBy("m").collect()
     assert [r["m"] for r in one] == [1, 123456789, 99999500000]
+
+
+# ---------------------------------------------------------------- R4-CC
+# Connected-components near-dup resolution (VERDICT r3 next-round #3):
+# chains are exactly what one-round single-link gets wrong.
+
+def _pairs(spark, *ab):
+    return spark.createDataFrame(list(ab), "doc_a long, doc_b long")
+
+
+def _docs(spark, n):
+    return spark.range(n).selectExpr("id AS doc_id", "concat('doc ', id) AS text")
+
+
+def test_dedup_clusters_chain(spark):
+    """A~B~C~D chain → ONE cluster labelled by the minimum id; the isolated
+    doc labels itself."""
+    from dataflow_ordered_processing_spark.functions import dedup
+
+    docs = _docs(spark, 6)
+    pairs = _pairs(spark, (1, 2), (2, 3), (3, 4))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    """A 40-node chain converges well inside max_iter thanks to label
+    compression (min propagation alone would need ~40 rounds)."""
+    from dataflow_ordered_processing_spark.functions import dedup
+
+    n = 40
+    docs = _docs(spark, n)
+    pairs = _pairs(spark, *[(i, i + 1) for i in range(n - 1)])
+    got = dedup.dedup_clusters(docs, pairs, max_iter=10).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_dedup_clusters_multiple_components_and_empty(spark):
+    from dataflow_ordered_processing_spark.functions import dedup
+
+    docs = _docs(spark, 8)
+    pairs = _pairs(spark, (0, 7), (5, 6), (6, 3))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 7: 0, 5: 3, 6: 3, 3: 3, 1: 1, 2: 2, 4: 4}
+    # no pairs at all → every doc is its own cluster
+    none = dedup.dedup_clusters(docs, _pairs(spark)).collect()
+    assert all(r["cluster_id"] == r["doc_id"] for r in none)
+
+
+def test_dedup_keep_first_transitive_beats_one_round(spark):
+    """The motivating divergence (VERDICT r3): with pairs respecting the
+    doc_a < doc_b contract, a component {1,2,3} reachable only through a
+    shared larger doc — (1,3),(2,3) — has 2 never appearing as a doc_b, so
+    one-round single-link wrongly keeps both 1 and 2; transitive keeps only
+    the component minimum."""
+    from dataflow_ordered_processing_spark.functions import dedup
+
+    docs = _docs(spark, 5)
+    pairs = _pairs(spark, (1, 2), (2, 3))
+    legacy = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_first(docs, pairs, transitive=False).collect()
+    )
+    exact = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_first(docs, pairs, transitive=True).collect()
+    )
+    assert exact == [0, 1, 4]
+    assert legacy == [0, 1, 4]  # star+chain coincide when every dup is a doc_b
+    # divergent fixture: component {1,2,3} via (1,3),(2,3) — 2 is never doc_b
+    pairs2 = _pairs(spark, (1, 3), (2, 3))
+    legacy2 = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_first(docs, pairs2, transitive=False).collect()
+    )
+    exact2 = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_first(docs, pairs2, transitive=True).collect()
+    )
+    assert legacy2 == [0, 1, 2, 4]  # one-round keeps BOTH 1 and 2
+    assert exact2 == [0, 1, 4]  # transitive keeps only the component min
