@@ -129,6 +129,14 @@ def main() -> int:
         "checkpoint with a different value is refused (it would strand "
         "per-conversation state and break exactly-once)",
     )
+    ap.add_argument(
+        "--merge-on-key",
+        action="store_true",
+        help="paranoid exactly-once: additionally drop data rows at or below "
+        "their conversation's sink high watermark (covers cross-epoch "
+        "re-emission under eager state cleanup). O(batch) per epoch via the "
+        "compact _keyidx high-watermark index — never re-reads the sink",
+    )
     args = ap.parse_args()
 
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
@@ -166,6 +174,7 @@ def main() -> int:
         data_path=os.path.join(args.out, "data"),
         dlq_path=os.path.join(args.out, "dlq"),
         checkpoint=args.checkpoint,
+        merge_on_key=args.merge_on_key,
     )
 
     if not args.no_warmup:

@@ -28,6 +28,10 @@ def main() -> int:
     ap.add_argument("--kill-after", type=float, default=25.0)
     ap.add_argument("--engine", choices=["classic", "sharded"], default="classic")
     ap.add_argument("--n-shards", type=int, default=256)
+    ap.add_argument(
+        "--merge-on-key", action="store_true",
+        help="crash-test the paranoid merge path (keyidx high-watermark filter)",
+    )
     args = ap.parse_args()
 
     from tools.scaling_bench import generate_input  # noqa: E402
@@ -50,6 +54,8 @@ def main() -> int:
         "--engine", args.engine,
         "--n-shards", str(args.n_shards),
     ]
+    if args.merge_on_key:
+        cmd.append("--merge-on-key")
 
     # leg 1: SIGKILL mid-run (no cleanup, no shutdown hooks)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
