@@ -14,6 +14,7 @@ driver's parquet, so each has an exact DuckDB oracle:
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 from collections.abc import Callable
@@ -414,6 +415,55 @@ def _q_tumbling_stream(spark, sf_dir):
     )
 
 
+def _q_tumbling_stream_append(spark, sf_dir):
+    """N1 streaming form in APPEND output mode — the production mode, where
+    rows are emitted only on WATERMARK FINALIZATION (complete mode never
+    exercises it). A sentinel row with an event time far past every real
+    window (max ts + 1 day) is pushed as a SECOND micro-batch: its arrival
+    advances the global event-time watermark beyond every real window's
+    end, so append mode finalizes and emits exactly the real windows; the
+    sentinel's own window never closes and is never emitted. The oracle is
+    therefore the SAME exact batch oracle as tumbling_tool_counts. The
+    memory sink is polled to the expected row count because the flush
+    happens on a no-data micro-batch after the sentinel commit."""
+    import time as _time
+
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_tumbling_tool_counts,
+    )
+
+    t = derive_transcripts(spark, sf_dir)
+    expected = A.tumbling_tool_counts(t).count()
+    max_ts = t.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    stage = _stage_dir("tumbling-append-src")
+    t.write.mode("append").parquet(stage)
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    name = "tumbling_stream_append_out"
+    q = (
+        stream_tumbling_tool_counts(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: all real data, nothing finalized
+        sentinel = spark.createDataFrame(
+            [("zz-watermark-sentinel", 1, "user", "", None,
+              max_ts + datetime.timedelta(days=1))],
+            schema=TRANSCRIPT_SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(stage)
+        q.processAllAvailable()  # batch 2: sentinel advances the watermark
+        deadline = _time.time() + 120
+        while spark.table(name).count() < expected and _time.time() < deadline:
+            _time.sleep(0.25)  # the flush lands on a no-data micro-batch
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_sliding_stream(spark, sf_dir):
     """N2 STREAMING form (sliding windowed agg over readStream, complete
     mode) — same exact oracle as the batch sliding_turn_rate."""
@@ -705,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_turns_per_key": _q_latest_turns,
         "tumbling_tool_counts": _q_tumbling,
         "tumbling_stream": _q_tumbling_stream,
+        "tumbling_stream_append": _q_tumbling_stream_append,
         "sliding_turn_rate": _q_sliding,
         "sliding_stream": _q_sliding_stream,
         "session_windows": _q_session,
@@ -815,6 +866,19 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
 "tumbling_stream": _with_transcripts(
+            """
+            SELECT conv_id,
+                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+                       AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls
+            FROM transcripts GROUP BY 1, 2
+            """
+        ),
+        # append mode emits exactly the finalized real windows (the sentinel
+        # advanced the watermark past all of them; its own window never
+        # closes) — the oracle is identical to the complete-mode/batch one
+        "tumbling_stream_append": _with_transcripts(
             """
             SELECT conv_id,
                    make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
