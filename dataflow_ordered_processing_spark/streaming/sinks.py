@@ -526,6 +526,31 @@ def export_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         raise ValueError(f"unknown export format {fmt!r}")
 
 
+def raw_passthrough_sink(base: str):
+    """Epoch-idempotent raw append sink with NO stateful processing — the
+    hot-key side channel. A mega-conversation routed here costs only
+    sequential parquet IO per epoch (fully parallel across input
+    partitions) instead of serializing into one keyed-state task; the
+    accumulated raw rows are ordered later by the distributed two-phase
+    salted BATCH plan (operators/skew.py), which spreads one key across
+    the cluster. Same _SUCCESS-gated epoch commit protocol as the data
+    sink, so replays are no-ops."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        _write_idempotent(batch_df, base, epoch_id)
+
+    return write
+
+
+def read_raw(spark: SparkSession, base: str) -> DataFrame | None:
+    """Read a raw_passthrough_sink back (committed epochs only); None if
+    nothing has been committed."""
+    dirs = epoch_dirs(base)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", base).parquet(*dirs).drop("epoch")
+
+
 def console_stream(df: DataFrame, n: int = 20):
     """Streaming console sink (the reference's StandardOutputConsumer
     analog) — debugging aid."""

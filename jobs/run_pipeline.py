@@ -130,6 +130,32 @@ def main() -> int:
         "per-conversation state and break exactly-once)",
     )
     ap.add_argument(
+        "--hot-keys",
+        default=None,
+        help="comma-separated conversation ids to route around the keyed "
+        "streaming operator. SLA context: a mega-conversation in ANY "
+        "keyed-state streaming engine (this one and the reference alike) "
+        "serializes into a single task — throughput caps at one core's "
+        "state-machine rate and buffer memory grows with the key's open "
+        "gap (measured: BENCH/hot_key.json). Routed keys instead bypass "
+        "state entirely into a raw side channel (<out>/hot_raw, epoch-"
+        "idempotent) and are ordered AFTER the run by the DISTRIBUTED "
+        "two-phase salted batch plan into <out>/hot_ordered — one key "
+        "spread across the whole cluster",
+    )
+    ap.add_argument(
+        "--hot-key-threshold",
+        type=int,
+        default=None,
+        help="detect hot conversations from the status table (status rows "
+        "carry received_count): convs at/above the threshold in a PREVIOUS "
+        "run/epoch are auto-added to --hot-keys at startup, and a "
+        "hot_key_candidates report is printed after the run so the next "
+        "run can route newly detected ones. Detection is run-to-run (keyed "
+        "state cannot be migrated mid-stream — same property as the "
+        "reference's keyed DoFn state)",
+    )
+    ap.add_argument(
         "--merge-on-key",
         action="store_true",
         help="paranoid exactly-once: additionally drop data rows at or below "
@@ -150,6 +176,8 @@ def main() -> int:
         SinkConfig,
         _check_engine_marker,
         export_table,
+        raw_passthrough_sink,
+        read_raw,
         read_sink,
         split_sink,
     )
@@ -186,6 +214,41 @@ def main() -> int:
     from dataflow_ordered_processing_spark.streaming import resolve_n_shards
 
     src = reader.parquet(args.source)
+
+    # ---- hot-key routing (north_rule skew, streaming answer) ----
+    hot: set[str] = set()
+    if args.hot_keys:
+        hot |= {k for k in args.hot_keys.split(",") if k}
+    if args.hot_key_threshold and os.path.isdir(sink.data_path):
+        from pyspark.sql import functions as F
+
+        prior = read_sink(spark, sink.data_path, table="status")
+        detected = (
+            prior.groupBy("conv_id")
+            .agg(F.max("received_count").alias("rc"))
+            .filter(F.col("rc") >= args.hot_key_threshold)
+            .collect()
+        )
+        hot |= {r["conv_id"] for r in detected}
+    hot_q = None
+    hot_raw = os.path.join(args.out, "hot_raw")
+    if hot:
+        from pyspark.sql import functions as F
+
+        hot_list = sorted(hot)
+        print(json.dumps({"hot_keys_routed": hot_list}))
+        hot_writer = (
+            src.filter(F.col("conv_id").isin(hot_list))
+            .writeStream.outputMode("append")
+            .foreachBatch(raw_passthrough_sink(hot_raw))
+            .option("checkpointLocation", args.checkpoint + "-hot")
+            .queryName("hot-key-side-channel")
+        )
+        if args.available_now:
+            hot_writer = hot_writer.trigger(availableNow=True)
+        hot_q = hot_writer.start()
+        src = src.filter(~F.col("conv_id").isin(hot_list))
+
     n_shards = args.n_shards
     if args.engine == "sharded":
         n_shards = resolve_n_shards(src, n_shards)
@@ -212,7 +275,36 @@ def main() -> int:
     else:
         q.processAllAvailable()
         q.stop()
+    if hot_q is not None:
+        if args.available_now:
+            hot_q.awaitTermination()
+        else:
+            hot_q.processAllAvailable()
+            hot_q.stop()
     wall = time.time() - t0
+
+    hot_result = None
+    if hot_q is not None:
+        # order the accumulated side channel with the DISTRIBUTED two-phase
+        # plan (one key spread across the cluster), idempotent overwrite
+        from dataflow_ordered_processing_spark.operators.skew import (
+            salted_ordered_emit_batch,
+        )
+
+        raw = read_raw(spark, hot_raw)
+        if raw is not None:
+            t_hot = time.time()
+            ordered = salted_ordered_emit_batch(raw)
+            ordered.write.mode("overwrite").parquet(
+                os.path.join(args.out, "hot_ordered")
+            )
+            hot_rows = spark.read.parquet(
+                os.path.join(args.out, "hot_ordered")
+            ).count()
+            hot_result = {
+                "hot_rows_ordered": hot_rows,
+                "hot_batch_wall_s": round(time.time() - t_hot, 2),
+            }
 
     data = read_sink(spark, sink.data_path)
     if args.export:
@@ -239,6 +331,21 @@ def main() -> int:
             result["sustained_turns_per_sec"] = round(rows / (ms / 1000.0), 1)
     except OSError:
         pass
+    if hot_result:
+        result.update(hot_result)
+    if args.hot_key_threshold:
+        from pyspark.sql import functions as F
+
+        status = read_sink(spark, sink.data_path, table="status")
+        cand = (
+            status.groupBy("conv_id")
+            .agg(F.max("received_count").alias("received_count"))
+            .filter(F.col("received_count") >= args.hot_key_threshold)
+            .collect()
+        )
+        result["hot_key_candidates"] = sorted(
+            r["conv_id"] for r in cand if r["conv_id"] not in hot
+        )
     print(json.dumps(result))
     return 0
 

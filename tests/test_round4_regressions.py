@@ -206,6 +206,72 @@ def test_keyidx_crash_window_catchup(spark, tmp_path):
     assert _data_keys(spark, path) == [("a", 1), ("a", 2), ("a", 3)]
 
 
+# ---------------------------------------------------------------- R4-HK
+# Streaming hot-key routing (VERDICT r3 what's-missing #5): mega-keys
+# bypass keyed state into a raw side channel and get ordered by the
+# distributed salted batch plan; detection comes from status received_count.
+
+def test_hot_key_routing_pipeline(tmp_path):
+    """run_pipeline --hot-keys routes the named conversation around the
+    stateful operator: the data sink has no rows for it, <out>/hot_ordered
+    holds its turns exactly ordered, nothing is lost, and a
+    --hot-key-threshold report names the remaining biggest conversations."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(str(tmp_path), "src")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    # stage a deterministic arrival set via a subprocess-independent path:
+    # reuse the scaling-bench generator (shuffled out-of-order arrivals)
+    sys.path.insert(0, repo)
+    from tools.scaling_bench import generate_input
+
+    n_input = generate_input(src, 4000, 40, cpus=4)
+    con = duckdb.connect()
+    hot_conv, hot_n = con.execute(
+        f"SELECT conv_id, count(*) FROM read_parquet('{src}/*.parquet') "
+        "GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1"
+    ).fetchone()
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now", "--master", "local[4]",
+            "--shuffle-partitions", "4", "--no-warmup",
+            "--hot-keys", hot_conv, "--hot-key-threshold", "1",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    routed = next(l for l in lines if "hot_keys_routed" in l)
+    result = lines[-1]
+    assert routed["hot_keys_routed"] == [hot_conv]
+    assert result["hot_rows_ordered"] == hot_n
+    assert result["rows_emitted"] == n_input - hot_n  # cold side complete
+    # the side channel is exactly ordered: turn_idx == 1..n in emit order
+    got = con.execute(
+        f"SELECT turn_idx FROM read_parquet('{out}/hot_ordered/*.parquet') "
+        f"WHERE conv_id = '{hot_conv}' ORDER BY emit_seq"
+    ).fetchall()
+    assert [t[0] for t in got] == list(range(1, hot_n + 1))
+    # no hot rows leaked into the keyed sink
+    n_hot_in_data = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/data/epoch=*/*.parquet') "
+        f"WHERE row_type = 'data' AND conv_id = '{hot_conv}'"
+    ).fetchone()[0]
+    assert n_hot_in_data == 0
+    # detection report: with threshold 1 every remaining conv qualifies and
+    # the routed one is excluded
+    assert hot_conv not in result["hot_key_candidates"]
+    assert len(result["hot_key_candidates"]) == 39
+
+
 def test_keyidx_bootstraps_legacy_sink(spark, tmp_path):
     """A sink written before the index existed (merge_on_key off) gains the
     index on first merged epoch via a one-time catch-up; cross-epoch dups

@@ -1,0 +1,177 @@
+"""ANN recall evidence (VERDICT r3 next-round #6): lsh_topk / ivf_topk are
+oracle-exact in the driver gate, but exactness there only proves the Spark
+plan equals the SQL description of the same approximation — this tool
+measures the approximation itself: recall@k vs the exact brute-force top-k
+at a 100k-vector synthetic scale, sweeping the quality knobs one step in
+each direction (n_planes for LSH, n_probe for IVF).
+
+Corpus: deterministic clustered Gaussian mixture (seeded numpy — 256
+centers, sigma 0.35), written as parquet and read back through Spark, so
+nearest-neighbour structure is real (uniform random vectors would make
+recall meaningless). Queries = 32 corpus vectors spread across clusters.
+
+Also records the mean candidate-set size per query — the cost knob recall
+trades against (at 100 TB the candidate count IS the per-query work).
+
+Usage: python tools/ann_recall.py [--n 100000] [--dim 64] [--queries 32]
+Writes BENCH/ann_recall.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def synth_corpus(path: str, n: int, dim: int, seed: int = 7) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_clusters = 256
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    vecs = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v for v in vecs.astype(np.float32)],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array((assign % 10).astype(np.int64)),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    return out
+
+
+def recall_at_k(truth: dict[int, set[int]], got: dict[int, set[int]], k: int) -> float:
+    vals = []
+    for q, t in truth.items():
+        g = got.get(q, set())
+        vals.append(len(t & g) / k)
+    return round(float(np.mean(vals)), 4)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=32)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dataflow_ordered_processing_spark.functions import similarity as S
+    from dataflow_ordered_processing_spark.session import get_spark
+
+    workdir = tempfile.mkdtemp(prefix="ann-recall-", dir="/dev/shm")
+    corpus_path = os.path.join(workdir, "embeddings.parquet")
+    synth_corpus(corpus_path, args.n, args.dim)
+
+    spark = get_spark("ann-recall", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
+    emb = spark.read.parquet(corpus_path)
+    # queries spread across clusters: every (n // queries)-th vector
+    stride = args.n // args.queries
+    qids = [i * stride for i in range(args.queries)]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+
+    t0 = time.time()
+    truth = topk_sets(S.brute_force_topk(emb, queries, k=args.k))
+    brute_wall = round(time.time() - t0, 2)
+
+    results = {"brute_force": {"recall_at_k": 1.0, "wall_s": brute_wall,
+                               "mean_candidates": args.n - 1}}
+
+    # ---- LSH sweep: n_planes one step down/up from the default 6 ----
+    for n_planes in (4, 6, 8):
+        t0 = time.time()
+        got = topk_sets(
+            S.lsh_topk(emb, queries, k=args.k, n_planes=n_planes, dim=args.dim)
+        )
+        wall = round(time.time() - t0, 2)
+        # candidate count = same-bucket corpus rows per query
+        planes = S.hyperplanes(args.dim, n_planes)
+        cb = S.lsh_bucket(emb, "embedding", planes)
+        qb = S.lsh_bucket(queries, "q_embedding", planes)
+        cand = (
+            cb.join(F.broadcast(qb), "lsh_bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id").count()
+            .agg(F.avg("count")).collect()[0][0]
+        )
+        results[f"lsh_planes_{n_planes}"] = {
+            "recall_at_k": recall_at_k(truth, got, args.k),
+            "wall_s": wall,
+            "mean_candidates": round(float(cand or 0), 1),
+        }
+        print(json.dumps({"variant": f"lsh_planes_{n_planes}",
+                          **results[f"lsh_planes_{n_planes}"]}))
+
+    # ---- IVF sweep: n_probe one step down/up from the default 2 ----
+    for n_probe in (1, 2, 4):
+        t0 = time.time()
+        got = topk_sets(
+            S.ivf_topk(emb, queries, k=args.k, n_cells=64, n_probe=n_probe)
+        )
+        wall = round(time.time() - t0, 2)
+        cent_rows = emb.filter(F.col("vec_id") < 64).select("vec_id", "embedding").collect()
+        centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
+        corpus_c = S.ivf_assign(emb, "embedding", centroids, n_probe=1)
+        probed = S.ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
+        cand = (
+            corpus_c.join(F.broadcast(probed), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id").count()
+            .agg(F.avg("count")).collect()[0][0]
+        )
+        results[f"ivf_probe_{n_probe}"] = {
+            "recall_at_k": recall_at_k(truth, got, args.k),
+            "wall_s": wall,
+            "mean_candidates": round(float(cand or 0), 1),
+        }
+        print(json.dumps({"variant": f"ivf_probe_{n_probe}",
+                          **results[f"ivf_probe_{n_probe}"]}))
+
+    out = {
+        "bench": "ann_recall",
+        "n_vectors": args.n,
+        "dim": args.dim,
+        "n_queries": args.queries,
+        "k": args.k,
+        "cpus": args.cpus,
+        "corpus": "256-cluster gaussian mixture, sigma 0.35, seed 7",
+        "variants": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ann_recall.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
