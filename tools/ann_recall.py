@@ -89,7 +89,11 @@ def main() -> int:
     synth_corpus(corpus_path, args.n, args.dim)
 
     spark = get_spark("ann-recall", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
-    emb = spark.read.parquet(corpus_path)
+    # the corpus lands as ONE parquet file → 1-2 scan partitions; every
+    # variant scans it several times, so spread it across the cores once
+    # and cache (100k × 64 float32 ≈ 26 MB)
+    emb = spark.read.parquet(corpus_path).repartition(args.cpus * 2).cache()
+    emb.count()
     # queries spread across clusters: every (n // queries)-th vector
     stride = args.n // args.queries
     qids = [i * stride for i in range(args.queries)]
