@@ -45,14 +45,21 @@ def _sum_micros(col: F.Column, exact_decimal: bool) -> F.Column:
     (e.g. a Q1-style 4-group rollup over the whole fact table) should pass
     exact_decimal=True rather than fail or wrap.
 
-    DECIMAL mode (exact_decimal=True): sums into DECIMAL(38,0) — exact to
-    1e38 micros, unconditionally safe at 100 TB. Not the default only
+    DECIMAL mode (exact_decimal=True): BOTH the per-row fold and the sum
+    stay in DECIMAL — floor(cast(x*1e6+0.5 AS DECIMAL(38,6))) — so neither
+    a huge per-row value nor a huge group total can overflow (r4 review
+    finding: routing the row through the BIGINT floor first would reintro-
+    duce the int64 bound per row). Values match BIGINT mode exactly wherever
+    BIGINT mode is defined; the only remaining precision bound is the
+    float64 input itself (~15-16 significant digits). Not the default only
     because the correctness gate compares pandas dtypes bit-exactly and
-    DuckDB lowers DECIMAL(38,0) to float64 while Spark yields
-    decimal.Decimal objects — an engine-conversion artifact, not a Spark
-    semantics issue."""
-    m = _micros(col)
-    return F.sum(m.cast("decimal(38,0)") if exact_decimal else m)
+    DuckDB lowers DECIMAL to float64 while Spark yields decimal.Decimal
+    objects — an engine-conversion artifact, not a Spark semantics issue."""
+    if exact_decimal:
+        return F.sum(
+            F.floor((col * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,6)"))
+        )
+    return F.sum(_micros(col))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,6 +1,7 @@
 from .ordered_stream import OrderedStreamConfig, ordered_stream
 from .ordered_sharded import ordered_stream_sharded
 from .sinks import split_sink, start_ordered_pipeline
+from .hotkey import order_hot_channel, read_pipeline_output
 from .metrics import BufferMetricsListener
 
 
@@ -36,5 +37,7 @@ __all__ = [
     "build_ordered_stream",
     "split_sink",
     "start_ordered_pipeline",
+    "order_hot_channel",
+    "read_pipeline_output",
     "BufferMetricsListener",
 ]

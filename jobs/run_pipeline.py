@@ -52,6 +52,32 @@ def _warmup(spark) -> None:
     df.groupBy("conv_id").agg(F.count("*")).count()
 
 
+def _hot_candidates(spark, data_path: str, threshold: int) -> set[str]:
+    """Conversations whose status received_count reached the threshold in
+    any committed epoch. ONE definition for both the startup detector and
+    the end-of-run candidates report (review finding r4: keep them
+    identical). Guards the crash window where the sink dir exists but no
+    epoch is committed yet (epoch_dirs == []) — read_sink on zero paths
+    would raise."""
+    from pyspark.sql import functions as F
+
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        epoch_dirs,
+        read_sink,
+    )
+
+    if not epoch_dirs(data_path):
+        return set()
+    status = read_sink(spark, data_path, table="status")
+    rows = (
+        status.groupBy("conv_id")
+        .agg(F.max("received_count").alias("rc"))
+        .filter(F.col("rc") >= threshold)
+        .collect()
+    )
+    return {r["conv_id"] for r in rows}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", required=True, help="directory of arrival parquet files")
@@ -141,7 +167,11 @@ def main() -> int:
         "state entirely into a raw side channel (<out>/hot_raw, epoch-"
         "idempotent) and are ordered AFTER the run by the DISTRIBUTED "
         "two-phase salted batch plan into <out>/hot_ordered — one key "
-        "spread across the whole cluster",
+        "spread across the whole cluster. Incremental: each pass sorts and "
+        "writes only turns past the conversation's prior release watermark "
+        "(upto=<epoch> commit dirs). hot_ordered SUPERSEDES any earlier "
+        "data-sink rows of routed conversations — read the combined output "
+        "with streaming.hotkey.read_pipeline_output",
     )
     ap.add_argument(
         "--hot-key-threshold",
@@ -177,7 +207,6 @@ def main() -> int:
         _check_engine_marker,
         export_table,
         raw_passthrough_sink,
-        read_raw,
         read_sink,
         split_sink,
     )
@@ -219,17 +248,8 @@ def main() -> int:
     hot: set[str] = set()
     if args.hot_keys:
         hot |= {k for k in args.hot_keys.split(",") if k}
-    if args.hot_key_threshold and os.path.isdir(sink.data_path):
-        from pyspark.sql import functions as F
-
-        prior = read_sink(spark, sink.data_path, table="status")
-        detected = (
-            prior.groupBy("conv_id")
-            .agg(F.max("received_count").alias("rc"))
-            .filter(F.col("rc") >= args.hot_key_threshold)
-            .collect()
-        )
-        hot |= {r["conv_id"] for r in detected}
+    if args.hot_key_threshold:
+        hot |= _hot_candidates(spark, sink.data_path, args.hot_key_threshold)
     hot_q = None
     hot_raw = os.path.join(args.out, "hot_raw")
     if hot:
@@ -285,24 +305,24 @@ def main() -> int:
 
     hot_result = None
     if hot_q is not None:
-        # order the accumulated side channel with the DISTRIBUTED two-phase
-        # plan (one key spread across the cluster), idempotent overwrite
-        from dataflow_ordered_processing_spark.operators.skew import (
-            salted_ordered_emit_batch,
+        # order the accumulated side channel: incremental (only each conv's
+        # suffix past its prior release watermark is sorted and written),
+        # idempotent (upto=<max raw epoch> commit dirs), distributed
+        # two-phase salted plan. Read the combined output with
+        # hotkey.read_pipeline_output — hot_ordered supersedes any earlier
+        # data-sink rows of routed conversations.
+        from dataflow_ordered_processing_spark.streaming.hotkey import (
+            order_hot_channel,
         )
 
-        raw = read_raw(spark, hot_raw)
-        if raw is not None:
-            t_hot = time.time()
-            ordered = salted_ordered_emit_batch(raw)
-            ordered.write.mode("overwrite").parquet(
-                os.path.join(args.out, "hot_ordered")
-            )
-            hot_rows = spark.read.parquet(
-                os.path.join(args.out, "hot_ordered")
-            ).count()
+        t_hot = time.time()
+        st = order_hot_channel(
+            spark, hot_raw, os.path.join(args.out, "hot_ordered")
+        )
+        if st["rows_total"]:
             hot_result = {
-                "hot_rows_ordered": hot_rows,
+                "hot_rows_ordered": st["rows_total"],
+                "hot_rows_new": st["rows_new"],
                 "hot_batch_wall_s": round(time.time() - t_hot, 2),
             }
 
@@ -334,17 +354,8 @@ def main() -> int:
     if hot_result:
         result.update(hot_result)
     if args.hot_key_threshold:
-        from pyspark.sql import functions as F
-
-        status = read_sink(spark, sink.data_path, table="status")
-        cand = (
-            status.groupBy("conv_id")
-            .agg(F.max("received_count").alias("received_count"))
-            .filter(F.col("received_count") >= args.hot_key_threshold)
-            .collect()
-        )
         result["hot_key_candidates"] = sorted(
-            r["conv_id"] for r in cand if r["conv_id"] not in hot
+            _hot_candidates(spark, sink.data_path, args.hot_key_threshold) - hot
         )
     print(json.dumps(result))
     return 0

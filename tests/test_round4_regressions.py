@@ -37,6 +37,13 @@ def test_micros_sum_decimal_survives_int64_overflow(spark):
     else:  # non-ANSI deployment: documents the wrap hazard
         assert bigint() < 0
 
+    # PER-ROW overflow (review finding r4): a single row past ~9.2e12
+    # display units exceeds int64 micros on its own — decimal mode must
+    # survive because its fold never touches BIGINT
+    big = spark.createDataFrame([(1.0e13,), (2.5e13,)], "x double")
+    got = big.agg(_sum_micros(F.col("x"), exact_decimal=True).alias("s")).collect()[0]["s"]
+    assert int(got) == 35_000_000_000_000_000_000  # 3.5e19, exact
+
     # below the bound the two modes agree exactly
     small = spark.createDataFrame([(123.456789,), (0.000001,), (99999.5,)], "x double")
     a = small.agg(_sum_micros(F.col("x"), False).alias("s")).collect()[0]["s"]
@@ -211,6 +218,31 @@ def test_keyidx_crash_window_catchup(spark, tmp_path):
 # bypass keyed state into a raw side channel and get ordered by the
 # distributed salted batch plan; detection comes from status received_count.
 
+def _gen_input_subprocess(repo: str, src: str, rows: int, convs: int) -> int:
+    """Run tools.scaling_bench.generate_input in a SUBPROCESS: it calls
+    spark.stop() when done, which would kill the pytest session fixture's
+    shared SparkContext if run in-process (r4 lesson: three tests failed
+    with 'Cannot call methods on a stopped SparkContext')."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    subprocess.run(
+        [
+            sys.executable, "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "from tools.scaling_bench import generate_input; "
+            "generate_input(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), cpus=4)",
+            repo, src, str(rows), str(convs),
+        ],
+        check=True, capture_output=True, timeout=600,
+    )
+    return duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{src}/*.parquet')"
+    ).fetchone()[0]
+
+
 def test_hot_key_routing_pipeline(tmp_path):
     """run_pipeline --hot-keys routes the named conversation around the
     stateful operator: the data sink has no rows for it, <out>/hot_ordered
@@ -226,12 +258,7 @@ def test_hot_key_routing_pipeline(tmp_path):
     src = os.path.join(str(tmp_path), "src")
     out = os.path.join(str(tmp_path), "out")
     ckpt = os.path.join(str(tmp_path), "ckpt")
-    # stage a deterministic arrival set via a subprocess-independent path:
-    # reuse the scaling-bench generator (shuffled out-of-order arrivals)
-    sys.path.insert(0, repo)
-    from tools.scaling_bench import generate_input
-
-    n_input = generate_input(src, 4000, 40, cpus=4)
+    n_input = _gen_input_subprocess(repo, src, 4000, 40)
     con = duckdb.connect()
     hot_conv, hot_n = con.execute(
         f"SELECT conv_id, count(*) FROM read_parquet('{src}/*.parquet') "
@@ -255,8 +282,9 @@ def test_hot_key_routing_pipeline(tmp_path):
     assert result["hot_rows_ordered"] == hot_n
     assert result["rows_emitted"] == n_input - hot_n  # cold side complete
     # the side channel is exactly ordered: turn_idx == 1..n in emit order
+    # (layout r4b: upto=<epoch> commit dirs — incremental passes)
     got = con.execute(
-        f"SELECT turn_idx FROM read_parquet('{out}/hot_ordered/*.parquet') "
+        f"SELECT turn_idx FROM read_parquet('{out}/hot_ordered/*/*.parquet') "
         f"WHERE conv_id = '{hot_conv}' ORDER BY emit_seq"
     ).fetchall()
     assert [t[0] for t in got] == list(range(1, hot_n + 1))
@@ -270,6 +298,125 @@ def test_hot_key_routing_pipeline(tmp_path):
     # the routed one is excluded
     assert hot_conv not in result["hot_key_candidates"]
     assert len(result["hot_key_candidates"]) == 39
+
+
+def test_hot_key_supersede_and_incremental(spark, tmp_path):
+    """Review finding r4: a conversation routed from run 2 onward already
+    has rows in the keyed data sink — the combined read must supersede
+    them (no double count), and the second ordering pass must be
+    incremental (writes only the new suffix)."""
+    import subprocess
+    import sys
+
+    from dataflow_ordered_processing_spark.streaming.hotkey import (
+        read_hot_ordered,
+        read_pipeline_output,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(str(tmp_path), "src")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    n_input = _gen_input_subprocess(repo, src, 1200, 12)
+    base_cmd = [
+        sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+        "--source", src, "--out", out, "--checkpoint", ckpt,
+        "--available-now", "--master", "local[4]",
+        "--shuffle-partitions", "4", "--no-warmup",
+    ]
+    # run 1: NO routing — conv-000000 lands in the keyed data sink
+    r1 = subprocess.run(base_cmd, capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    # run 2: same source replayed via a FRESH pipeline (new ckpt), now
+    # routing the biggest conv — its side channel re-reads the whole source
+    import shutil
+
+    shutil.rmtree(ckpt)
+    r2 = subprocess.run(
+        base_cmd + ["--hot-keys", "conv-000000"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    combined = read_pipeline_output(spark, out)
+    # no double count: routed conv's data-sink rows (from run 1) superseded
+    assert combined.count() == n_input
+    assert (
+        combined.select("conv_id", "turn_idx").distinct().count() == n_input
+    )
+    hot1 = read_hot_ordered(spark, os.path.join(out, "hot_ordered"))
+    n_hot = hot1.count()
+    upto_dirs_1 = os.listdir(os.path.join(out, "hot_ordered"))
+
+    # run 3: same checkpoint, no new source data — the ordering pass must
+    # be a no-op (idempotent upto marker, rows_new == 0)
+    r3 = subprocess.run(
+        base_cmd + ["--hot-keys", "conv-000000"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    import json as _json
+
+    res3 = [_json.loads(l) for l in r3.stdout.splitlines() if l.startswith("{")][-1]
+    assert res3.get("hot_rows_new", 0) == 0
+    assert res3["hot_rows_ordered"] == n_hot
+    assert os.listdir(os.path.join(out, "hot_ordered")) == upto_dirs_1
+
+
+def test_order_hot_channel_incremental_offsets(spark, tmp_path):
+    """The incremental pass must continue emit_seq and the running depth
+    counters exactly where the prior pass stopped — the concatenated
+    channel must equal a single-pass ordering of all rows."""
+    import datetime
+
+    from dataflow_ordered_processing_spark.operators.skew import (
+        salted_ordered_emit_batch,
+    )
+    from dataflow_ordered_processing_spark.streaming.hotkey import (
+        order_hot_channel,
+        read_hot_ordered,
+    )
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        raw_passthrough_sink,
+    )
+
+    raw_path = os.path.join(str(tmp_path), "hot_raw")
+    out_path = os.path.join(str(tmp_path), "hot_ordered")
+    roles = ["user", "assistant", "tool"]
+
+    def rows(turns):
+        return spark.createDataFrame(
+            [
+                ("h", t, roles[t % 3], f"text-{t}", None,
+                 datetime.datetime(2026, 1, 1, 0, 0, t))
+                for t in turns
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    sink = raw_passthrough_sink(raw_path)
+    sink(rows([3, 1, 2, 7, 5, 4]), 0)  # epoch 0: prefix 1..5, gap at 6
+    st1 = order_hot_channel(spark, raw_path, out_path)
+    assert (st1["rows_total"], st1["rows_new"]) == (5, 5)
+
+    sink(rows([6, 8, 2, 9]), 1)  # epoch 1: fills the gap, redelivers 2
+    st2 = order_hot_channel(spark, raw_path, out_path)
+    assert (st2["rows_total"], st2["rows_new"]) == (9, 4)  # 6..9 released
+
+    got = (
+        read_hot_ordered(spark, out_path)
+        .orderBy("emit_seq")
+        .collect()
+    )
+    want = (
+        salted_ordered_emit_batch(rows([3, 1, 2, 7, 5, 4, 6, 8, 9]))
+        .orderBy("emit_seq")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # idempotency: same raw state → no new pass
+    st3 = order_hot_channel(spark, raw_path, out_path)
+    assert (st3["rows_total"], st3["rows_new"]) == (9, 0)
 
 
 def test_keyidx_bootstraps_legacy_sink(spark, tmp_path):

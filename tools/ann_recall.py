@@ -119,12 +119,13 @@ def main() -> int:
         planes = S.hyperplanes(args.dim, n_planes)
         cb = S.lsh_bucket(emb, "embedding", planes)
         qb = S.lsh_bucket(queries, "q_embedding", planes)
+        # mean over ALL queries (total/args.queries): a query whose bucket
+        # is empty must count as 0 candidates, not drop from the average
         cand = (
             cb.join(F.broadcast(qb), "lsh_bucket")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .groupBy("query_id").count()
-            .agg(F.avg("count")).collect()[0][0]
-        )
+            .count()
+        ) / args.queries
         results[f"lsh_planes_{n_planes}"] = {
             "recall_at_k": recall_at_k(truth, got, args.k),
             "wall_s": wall,
@@ -147,9 +148,8 @@ def main() -> int:
         cand = (
             corpus_c.join(F.broadcast(probed), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .groupBy("query_id").count()
-            .agg(F.avg("count")).collect()[0][0]
-        )
+            .count()
+        ) / args.queries
         results[f"ivf_probe_{n_probe}"] = {
             "recall_at_k": recall_at_k(truth, got, args.k),
             "wall_s": wall,
