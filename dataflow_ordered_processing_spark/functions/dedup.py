@@ -228,7 +228,7 @@ def simhash(df: DataFrame, col: str = "text", bits: int = 16) -> DataFrame:
 
 
 def dedup_clusters(
-    df: DataFrame, pairs: DataFrame, max_iter: int = 50
+    df: DataFrame, pairs: DataFrame, max_iter: int = 50, stats: dict | None = None
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every document
     gets ``cluster_id`` = the MINIMUM doc_id transitively reachable through
@@ -277,7 +277,9 @@ def dedup_clusters(
         ).collect()[0]["s"]
 
     prev = _checksum(labels)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # propagate: label(v) ← min(label(v), min over neighbours label(u))
         via_edges = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -300,6 +302,8 @@ def dedup_clusters(
         )
         cur = _checksum(labels)
         if cur == prev:
+            if stats is not None:
+                stats["rounds"] = rounds
             break
         prev = cur
     else:
