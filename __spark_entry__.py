@@ -415,33 +415,29 @@ def _q_tumbling_stream(spark, sf_dir):
     )
 
 
-def _q_tumbling_stream_append(spark, sf_dir):
-    """N1 streaming form in APPEND output mode — the production mode, where
-    rows are emitted only on WATERMARK FINALIZATION (complete mode never
-    exercises it). A sentinel row with an event time far past every real
-    window (max ts + 1 day) is pushed as a SECOND micro-batch: its arrival
-    advances the global event-time watermark beyond every real window's
-    end, so append mode finalizes and emits exactly the real windows; the
-    sentinel's own window never closes and is never emitted. The oracle is
-    therefore the SAME exact batch oracle as tumbling_tool_counts. The
-    memory sink is polled to the expected row count because the flush
-    happens on a no-data micro-batch after the sentinel commit."""
+def _stream_agg_append(spark, sf_dir, build, expected: int, name: str):
+    """Run a streaming windowed aggregation in APPEND output mode — the
+    production mode, where rows are emitted only on WATERMARK FINALIZATION
+    (complete mode never exercises it). A sentinel row with an event time
+    far past every real window (max ts + 1 day) is pushed as a SECOND
+    micro-batch: its arrival advances the global event-time watermark
+    beyond every real window's/session's end, so append mode finalizes and
+    emits exactly the real aggregates; the sentinel's own window/session
+    never closes and is never emitted. The oracle is therefore the SAME
+    exact batch oracle. The memory sink is polled to the expected row count
+    because the flush happens on a no-data micro-batch after the sentinel
+    commit."""
     import time as _time
 
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
-    from dataflow_ordered_processing_spark.streaming.windows import (
-        stream_tumbling_tool_counts,
-    )
 
     t = derive_transcripts(spark, sf_dir)
-    expected = A.tumbling_tool_counts(t).count()
     max_ts = t.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    stage = _stage_dir("tumbling-append-src")
+    stage = _stage_dir(f"{name}-src")
     t.write.mode("append").parquet(stage)
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
-    name = "tumbling_stream_append_out"
     q = (
-        stream_tumbling_tool_counts(src)
+        build(src)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -462,6 +458,49 @@ def _q_tumbling_stream_append(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _q_tumbling_stream_append(spark, sf_dir):
+    """N1 streaming form, append mode (see _stream_agg_append)."""
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_tumbling_tool_counts,
+    )
+
+    expected = A.tumbling_tool_counts(derive_transcripts(spark, sf_dir)).count()
+    return _stream_agg_append(
+        spark, sf_dir, stream_tumbling_tool_counts, expected,
+        "tumbling_stream_append_out",
+    )
+
+
+def _q_sliding_stream_append(spark, sf_dir):
+    """N2 streaming form, append mode (watermark-finalized sliding windows;
+    same exact oracle as the batch sliding_turn_rate)."""
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_sliding_turn_rate,
+    )
+
+    expected = A.sliding_turn_rate(derive_transcripts(spark, sf_dir)).count()
+    return _stream_agg_append(
+        spark, sf_dir, stream_sliding_turn_rate, expected,
+        "sliding_stream_append_out",
+    )
+
+
+def _q_session_stream_append(spark, sf_dir):
+    """N3 streaming form, append mode — watermark-driven SESSION
+    finalization (a session closes only when the watermark passes its last
+    event + gap; the sentinel's own session never closes). Same exact
+    oracle as the batch session_windows."""
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_session_windows,
+    )
+
+    expected = A.session_windows(derive_transcripts(spark, sf_dir)).count()
+    return _stream_agg_append(
+        spark, sf_dir, stream_session_windows, expected,
+        "session_stream_append_out",
+    )
 
 
 def _q_sliding_stream(spark, sf_dir):
@@ -756,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_tool_counts": _q_tumbling,
         "tumbling_stream": _q_tumbling_stream,
         "tumbling_stream_append": _q_tumbling_stream_append,
+        "sliding_stream_append": _q_sliding_stream_append,
+        "session_stream_append": _q_session_stream_append,
         "sliding_turn_rate": _q_sliding,
         "sliding_stream": _q_sliding_stream,
         "session_windows": _q_session,
@@ -900,6 +941,19 @@ def oracle_sql() -> dict[str, str]:
             FROM slid GROUP BY 1
             """
         ),
+        # append mode flushes the same finalized set — same oracle
+        "sliding_stream_append": _with_transcripts(
+            """
+            , slid AS (
+              SELECT make_timestamp(
+                         CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT) * 1000000)
+                         AS window_start
+              FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
+            )
+            SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM slid GROUP BY 1
+            """
+        ),
         "sliding_stream": _with_transcripts(
             """
             , slid AS (
@@ -913,6 +967,25 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "session_windows": _with_transcripts(
+            """
+            , s AS (
+              SELECT conv_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ), g AS (
+              SELECT conv_id, ts,
+                     sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT conv_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM g GROUP BY conv_id, sid
+            """
+        ),
+# append mode: watermark-finalized sessions — same oracle
+"session_stream_append": _with_transcripts(
             """
             , s AS (
               SELECT conv_id, ts,
