@@ -837,6 +837,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# ONE definition per window oracle (review finding r4b: the batch form,
+# the complete-mode stream, and the append-mode stream are row-identical
+# by design — duplicated SQL strings would drift apart on the next edit)
+_TUMBLING_ORACLE = _with_transcripts(
+            """
+            SELECT conv_id,
+                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+                       AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls
+            FROM transcripts GROUP BY 1, 2
+            """
+        )
+
+_SLIDING_ORACLE = _with_transcripts(
+            """
+            , slid AS (
+              SELECT make_timestamp(
+                         CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT) * 1000000)
+                         AS window_start
+              FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
+            )
+            SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM slid GROUP BY 1
+            """
+        )
+
+_SESSION_ORACLE = _with_transcripts(
+            """
+            , s AS (
+              SELECT conv_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ), g AS (
+              SELECT conv_id, ts,
+                     sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT conv_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_turns
+            FROM g GROUP BY conv_id, sid
+            """
+        )
+
+
 def oracle_sql() -> dict[str, str]:
     ordered = _ORDERED_ORACLE
     return {
@@ -896,131 +943,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 3
             """
         ),
-        "tumbling_tool_counts": _with_transcripts(
-            """
-            SELECT conv_id,
-                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
-                       AS window_start,
-                   CAST(count(*) AS BIGINT) AS n_turns,
-                   CAST(count(tool) AS BIGINT) AS n_tool_calls
-            FROM transcripts GROUP BY 1, 2
-            """
-        ),
-"tumbling_stream": _with_transcripts(
-            """
-            SELECT conv_id,
-                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
-                       AS window_start,
-                   CAST(count(*) AS BIGINT) AS n_turns,
-                   CAST(count(tool) AS BIGINT) AS n_tool_calls
-            FROM transcripts GROUP BY 1, 2
-            """
-        ),
-        # append mode emits exactly the finalized real windows (the sentinel
-        # advanced the watermark past all of them; its own window never
-        # closes) — the oracle is identical to the complete-mode/batch one
-        "tumbling_stream_append": _with_transcripts(
-            """
-            SELECT conv_id,
-                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
-                       AS window_start,
-                   CAST(count(*) AS BIGINT) AS n_turns,
-                   CAST(count(tool) AS BIGINT) AS n_tool_calls
-            FROM transcripts GROUP BY 1, 2
-            """
-        ),
-        "sliding_turn_rate": _with_transcripts(
-            """
-            , slid AS (
-              SELECT make_timestamp(
-                         CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT) * 1000000)
-                         AS window_start
-              FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
-            )
-            SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
-            FROM slid GROUP BY 1
-            """
-        ),
-        # append mode flushes the same finalized set — same oracle
-        "sliding_stream_append": _with_transcripts(
-            """
-            , slid AS (
-              SELECT make_timestamp(
-                         CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT) * 1000000)
-                         AS window_start
-              FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
-            )
-            SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
-            FROM slid GROUP BY 1
-            """
-        ),
-        "sliding_stream": _with_transcripts(
-            """
-            , slid AS (
-              SELECT make_timestamp(
-                         CAST(floor(epoch(ts) / 120) * 120 - k.k * 120 AS BIGINT) * 1000000)
-                         AS window_start
-              FROM transcripts CROSS JOIN (VALUES (0), (1), (2), (3), (4)) k(k)
-            )
-            SELECT window_start, CAST(count(*) AS BIGINT) AS n_turns
-            FROM slid GROUP BY 1
-            """
-        ),
-        "session_windows": _with_transcripts(
-            """
-            , s AS (
-              SELECT conv_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                          THEN 1 ELSE 0 END AS brk
-              FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
-            ), g AS (
-              SELECT conv_id, ts,
-                     sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM s
-            )
-            SELECT conv_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_turns
-            FROM g GROUP BY conv_id, sid
-            """
-        ),
-# append mode: watermark-finalized sessions — same oracle
-"session_stream_append": _with_transcripts(
-            """
-            , s AS (
-              SELECT conv_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                          THEN 1 ELSE 0 END AS brk
-              FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
-            ), g AS (
-              SELECT conv_id, ts,
-                     sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM s
-            )
-            SELECT conv_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_turns
-            FROM g GROUP BY conv_id, sid
-            """
-        ),
-"session_stream": _with_transcripts(
-            """
-            , s AS (
-              SELECT conv_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                          THEN 1 ELSE 0 END AS brk
-              FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
-            ), g AS (
-              SELECT conv_id, ts,
-                     sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM s
-            )
-            SELECT conv_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_turns
-            FROM g GROUP BY conv_id, sid
-            """
-        ),
+        # batch form, complete-mode stream, and append-mode stream are
+        # row-identical by design (append: the sentinel advances the
+        # watermark past every real window/session; its own never closes)
+        "tumbling_tool_counts": _TUMBLING_ORACLE,
+        "tumbling_stream": _TUMBLING_ORACLE,
+        "tumbling_stream_append": _TUMBLING_ORACLE,
+        "sliding_turn_rate": _SLIDING_ORACLE,
+        "sliding_stream": _SLIDING_ORACLE,
+        "sliding_stream_append": _SLIDING_ORACLE,
+        "session_windows": _SESSION_ORACLE,
+        "session_stream": _SESSION_ORACLE,
+        "session_stream_append": _SESSION_ORACLE,
         # same oracle serves the batch form AND the streaming-join +
         # first-match-MERGE form (row-identical by construction)
         "user_assistant_pairs": _with_transcripts(

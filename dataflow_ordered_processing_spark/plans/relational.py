@@ -46,18 +46,25 @@ def _sum_micros(col: F.Column, exact_decimal: bool) -> F.Column:
     exact_decimal=True rather than fail or wrap.
 
     DECIMAL mode (exact_decimal=True): BOTH the per-row fold and the sum
-    stay in DECIMAL — floor(cast(x*1e6+0.5 AS DECIMAL(38,6))) — so neither
+    stay in DECIMAL — floor(cast(x*1e6+0.5 AS DECIMAL(38,18))) — so neither
     a huge per-row value nor a huge group total can overflow (r4 review
     finding: routing the row through the BIGINT floor first would reintro-
-    duce the int64 bound per row). Values match BIGINT mode exactly wherever
-    BIGINT mode is defined; the only remaining precision bound is the
-    float64 input itself (~15-16 significant digits). Not the default only
-    because the correctness gate compares pandas dtypes bit-exactly and
-    DuckDB lowers DECIMAL to float64 while Spark yields decimal.Decimal
-    objects — an engine-conversion artifact, not a Spark semantics issue."""
+    duce the int64 bound per row). Scale 18 (not 6) because the cast rounds
+    HALF_UP at the last decimal before the floor: at scale 6 a double like
+    0.9999999999999997 rounds to 1.000000 and floors to 1 where the BIGINT
+    fold gives 0 (second-pass review finding, reproduced live); at scale 18
+    no representable double lies within 5e-19 below an integer (adjacent-
+    double spacing near any integer ≥ 2^-53 ≈ 1.1e-16), so
+    floor(cast₁₈(y)) == floor(y) for EVERY double — the two modes agree
+    exactly wherever BIGINT mode is defined. Integer headroom remains
+    1e20 micros per row (1e14 display units — beyond double's own integer
+    precision). Not the default only because the correctness gate compares
+    pandas dtypes bit-exactly and DuckDB lowers DECIMAL to float64 while
+    Spark yields decimal.Decimal objects — an engine-conversion artifact,
+    not a Spark semantics issue."""
     if exact_decimal:
         return F.sum(
-            F.floor((col * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,6)"))
+            F.floor((col * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,18)"))
         )
     return F.sum(_micros(col))
 

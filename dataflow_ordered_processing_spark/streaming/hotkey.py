@@ -14,9 +14,12 @@ properties the naive "re-sort everything each run" approach lacks
                 running depth counters are offset by the prior release so
                 the concatenated output is indistinguishable from one
                 single-pass ordering.
-  idempotent    output lands in ``upto=<max raw epoch>`` directories with
-                the same _SUCCESS commit protocol as every other sink here;
-                re-running against an unchanged raw channel is a no-op.
+  idempotent    output lands in monotone ``pass=<n>`` directories with the
+                same _SUCCESS commit protocol as every other sink here; a
+                sidecar meta records which raw-channel state each pass
+                covered, so re-running against an unchanged raw channel is
+                a no-op — by CONTENT comparison, immune to raw epoch-id
+                reuse after a --reset-hot-channel replay.
   supersede     a routed conversation may have earlier turns already
                 committed in the keyed data sink (routed from run 2
                 onward: the side channel's fresh checkpoint replays the
@@ -33,6 +36,7 @@ job over one conversation's suffix.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,14 +49,18 @@ _DEPTHS = ["n_user_cum", "n_assistant_cum", "n_tool_cum", "chars_cum"]
 _OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "emit_seq", *_DEPTHS]
 
 
-def _committed_upto_dirs(out_path: str) -> list[tuple[int, str]]:
+def _committed_pass_dirs(out_path: str) -> list[tuple[int, str]]:
+    """Committed ordering passes, ascending. Dir name = monotone PASS index
+    (decoupled from raw epoch ids: a --reset-hot-channel replay restarts
+    raw epochs at 0, so raw state must never name output dirs — the pass
+    meta records which raw state a pass covered instead)."""
     if not os.path.isdir(out_path):
         return []
     out = []
     for d in os.listdir(out_path):
         p = os.path.join(out_path, d)
         if (
-            d.startswith("upto=")
+            d.startswith("pass=")
             and os.path.isdir(p)
             and os.path.exists(os.path.join(p, "_SUCCESS"))
         ):
@@ -62,10 +70,31 @@ def _committed_upto_dirs(out_path: str) -> list[tuple[int, str]]:
 
 def read_hot_ordered(spark: SparkSession, out_path: str) -> DataFrame | None:
     """All released hot-channel rows across committed passes."""
-    dirs = [p for _, p in _committed_upto_dirs(out_path)]
+    dirs = [p for _, p in _committed_pass_dirs(out_path)]
     if not dirs:
         return None
-    return spark.read.option("basePath", out_path).parquet(*dirs).drop("upto")
+    return spark.read.option("basePath", out_path).parquet(*dirs).drop("pass")
+
+
+def _write_meta(target: str, rows_new: int, rows_total: int, raw_state: dict) -> None:
+    """Per-pass sidecar next to _SUCCESS: running release totals (so later
+    passes never re-count historical dirs — review finding r4b) plus the
+    RAW-CHANNEL STATE this pass covered (so no-op detection compares
+    content, not directory names — immune to raw epoch-id reuse after a
+    channel reset)."""
+    with open(os.path.join(target, "_hot_meta.json"), "w") as f:
+        json.dump({"rows_new": rows_new, "rows_total": rows_total, **raw_state}, f)
+
+
+def _latest_meta(out_path: str) -> dict | None:
+    dirs = _committed_pass_dirs(out_path)
+    if not dirs:
+        return None
+    meta = os.path.join(dirs[-1][1], "_hot_meta.json")
+    if not os.path.exists(meta):  # pre-meta layout: caller falls back
+        return None
+    with open(meta) as f:
+        return json.load(f)
 
 
 def order_hot_channel(
@@ -77,17 +106,37 @@ def order_hot_channel(
     committed = epoch_dirs(raw_path)
     if raw is None or not committed:
         return {"rows_total": 0, "rows_new": 0}
-    max_epoch = max(int(p.rsplit("=", 1)[1]) for p in committed)
-    target = os.path.join(out_path, f"upto={max_epoch}")
-    if os.path.exists(os.path.join(target, "_SUCCESS")):
-        total = read_hot_ordered(spark, out_path).count()
-        return {"rows_total": total, "rows_new": 0}
+    # no-op fingerprint must be CONTENT-aware: after --reset-hot-channel a
+    # replay restarts epoch ids at 0, so (max_epoch, n_epochs) alone can
+    # collide with a pre-reset pass covering different rows (caught by
+    # test_hot_key_supersede_and_incremental run 5). Total committed bytes
+    # disambiguates without reading any data — and a byte-identical replay
+    # IS a true no-op (same rows, all at/below the release watermarks).
+    raw_bytes = 0
+    for d in committed:
+        for root, _, files in os.walk(d):
+            raw_bytes += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    raw_state = {
+        "raw_max_epoch": max(int(p.rsplit("=", 1)[1]) for p in committed),
+        "raw_epochs": len(committed),
+        "raw_bytes": raw_bytes,
+    }
+    passes = _committed_pass_dirs(out_path)
+    meta = _latest_meta(out_path)
+    if meta is not None and all(meta.get(k) == v for k, v in raw_state.items()):
+        return {"rows_total": int(meta["rows_total"]), "rows_new": 0}
+    target = os.path.join(
+        out_path, f"pass={passes[-1][0] + 1 if passes else 0}"
+    )
 
     prior = read_hot_ordered(spark, out_path)
     if prior is None:
         ordered = salted_ordered_emit_batch(raw, block=block)
         ordered.write.mode("overwrite").parquet(target)
         n = spark.read.parquet(target).count()
+        _write_meta(target, n, n, raw_state)
         return {"rows_total": n, "rows_new": n}
 
     # per-conv release state: high watermark + emit/depth offsets from the
@@ -127,16 +176,19 @@ def order_hot_channel(
         for c in _DEPTHS:
             ordered = ordered.withColumn(c, F.col(c) + F.lit(int(st[c])))
         parts.append(ordered)
+    prior_total = int(meta["rows_total"]) if meta else prior.count()
     if not parts:
-        return {"rows_total": prior.count(), "rows_new": 0}
+        return {"rows_total": prior_total, "rows_new": 0}
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     out.select(*_OUT_COLS).write.mode("overwrite").parquet(target)
+    # passes that released nothing new still commit an (empty) pass marker
+    # with the covered raw state, so no-op detection converges; totals
+    # accumulate in the sidecar meta
     new = spark.read.parquet(target).count()
-    # keep the layout compact: passes that released nothing new still commit
-    # an (empty) upto marker so idempotency holds; total = prior + new
-    total = read_hot_ordered(spark, out_path).count()
+    total = prior_total + new
+    _write_meta(target, new, total, raw_state)
     return {"rows_total": total, "rows_new": new}
 
 
@@ -153,7 +205,19 @@ def read_pipeline_output(spark: SparkSession, out_dir: str) -> DataFrame:
     hot = read_hot_ordered(spark, os.path.join(out_dir, "hot_ordered"))
     if hot is None:
         return data
-    routed = hot.select("conv_id").distinct()
-    return data.join(routed, "conv_id", "left_anti").unionByName(
+    # supersede by (conv_id, turn_idx ≤ hot watermark), NOT by whole conv
+    # (review finding r4b): a conversation un-routed in a later run keeps
+    # its post-watermark keyed-sink rows in the combined output instead of
+    # having them silently deleted. (NB: un-routing a LIVE conversation is
+    # still refused at the pipeline level — fresh keyed state would buffer
+    # forever waiting for turn 1 — see run_pipeline's routed-set marker;
+    # this read-side rule is defense in depth and covers post-reset reads.)
+    hot_hi = hot.groupBy("conv_id").agg(F.max("turn_idx").alias("_hot_hi"))
+    kept = (
+        data.join(F.broadcast(hot_hi), "conv_id", "left")
+        .filter(F.col("_hot_hi").isNull() | (F.col("turn_idx") > F.col("_hot_hi")))
+        .drop("_hot_hi")
+    )
+    return kept.unionByName(
         hot.withColumn("ingest_ts", F.lit(None).cast("timestamp"))
     )

@@ -78,6 +78,56 @@ def _hot_candidates(spark, data_path: str, threshold: int) -> set[str]:
     return {r["conv_id"] for r in rows}
 
 
+def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> None:
+    """Pin the ROUTED KEY SET to the side-channel checkpoint (the hot-key
+    analog of sinks._check_engine_marker). The set may not silently change:
+
+    - GROWING it strands the new key: the existing side-channel checkpoint
+      has already marked all prior source files processed, so the key's
+      earlier turns never reach hot_raw and its salted prefix from turn 1
+      never completes — zero rows released, forever, with no error.
+    - SHRINKING it strands the removed key the other way: fresh keyed
+      state in the main pipeline buffers its mid-conversation turns
+      waiting for a turn 1 that already went down the side channel.
+
+    Changing the set therefore requires --reset-hot-channel, which clears
+    the side-channel checkpoint AND hot_raw so the NEXT run replays the
+    whole source through the side channel (released rows already in
+    hot_ordered are kept — the incremental pass drops re-delivered turns at
+    or below each conversation's release watermark). Un-routing a LIVE
+    conversation remains semantically unsupported; only un-route keys that
+    have completed."""
+    import json as _json
+    import shutil
+
+    if reset:
+        shutil.rmtree(ckpt_hot, ignore_errors=True)
+        shutil.rmtree(hot_raw, ignore_errors=True)
+    marker = os.path.join(ckpt_hot, "_hot_keys.json")
+    current = sorted(hot)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prior = _json.load(f)
+        if prior != current:
+            grown = sorted(set(current) - set(prior))
+            shrunk = sorted(set(prior) - set(current))
+            raise ValueError(
+                f"hot-key routed set changed (added {grown}, removed "
+                f"{shrunk}) but the side-channel checkpoint {ckpt_hot!r} "
+                "was built for the prior set. Added keys would be "
+                "SILENTLY STRANDED (their history predates the checkpoint "
+                "and never reaches hot_raw); removed keys would buffer "
+                "forever in fresh keyed state. Re-run with "
+                "--reset-hot-channel to clear the side-channel checkpoint "
+                "and hot_raw and replay the source (already-released rows "
+                "are kept and deduplicated by release watermark), or "
+                "restore the prior --hot-keys set."
+            )
+    os.makedirs(ckpt_hot, exist_ok=True)
+    with open(marker, "w") as f:
+        _json.dump(current, f)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", required=True, help="directory of arrival parquet files")
@@ -186,6 +236,16 @@ def main() -> int:
         "reference's keyed DoFn state)",
     )
     ap.add_argument(
+        "--reset-hot-channel",
+        action="store_true",
+        help="clear the hot-key side-channel checkpoint and hot_raw before "
+        "starting, so this run replays the WHOLE source through the side "
+        "channel — required when the routed key set changes (see the "
+        "routed-set marker error). Released rows in hot_ordered are kept; "
+        "replayed turns at/below each conversation's release watermark "
+        "are dropped by the incremental ordering pass",
+    )
+    ap.add_argument(
         "--merge-on-key",
         action="store_true",
         help="paranoid exactly-once: additionally drop data rows at or below "
@@ -256,6 +316,9 @@ def main() -> int:
         from pyspark.sql import functions as F
 
         hot_list = sorted(hot)
+        _check_hot_marker(
+            args.checkpoint + "-hot", hot_raw, hot, args.reset_hot_channel
+        )
         print(json.dumps({"hot_keys_routed": hot_list}))
         hot_writer = (
             src.filter(F.col("conv_id").isin(hot_list))
@@ -319,12 +382,14 @@ def main() -> int:
         st = order_hot_channel(
             spark, hot_raw, os.path.join(args.out, "hot_ordered")
         )
-        if st["rows_total"]:
-            hot_result = {
-                "hot_rows_ordered": st["rows_total"],
-                "hot_rows_new": st["rows_new"],
-                "hot_batch_wall_s": round(time.time() - t_hot, 2),
-            }
+        # report even when 0 rows released: "channel ran, released nothing"
+        # is exactly the symptom an operator must be able to see (review
+        # finding r4b)
+        hot_result = {
+            "hot_rows_ordered": st["rows_total"],
+            "hot_rows_new": st["rows_new"],
+            "hot_batch_wall_s": round(time.time() - t_hot, 2),
+        }
 
     data = read_sink(spark, sink.data_path)
     if args.export:

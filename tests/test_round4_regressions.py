@@ -388,6 +388,29 @@ def test_hot_key_supersede_and_incremental(spark, tmp_path):
     assert res3["hot_rows_ordered"] == n_hot
     assert os.listdir(os.path.join(out, "hot_ordered")) == upto_dirs_1
 
+    # run 4: CHANGED routed set without reset → refused by the marker
+    # (growing it would strand the new key's pre-checkpoint history)
+    r4 = subprocess.run(
+        base_cmd + ["--hot-keys", "conv-000000,conv-000001"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r4.returncode != 0
+    assert "reset-hot-channel" in (r4.stderr + r4.stdout)
+
+    # run 5: same change WITH --reset-hot-channel → side channel replays
+    # the whole source; both keys ordered; combined read still exact
+    r5 = subprocess.run(
+        base_cmd + ["--hot-keys", "conv-000000,conv-000001",
+                    "--reset-hot-channel"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r5.returncode == 0, r5.stderr[-2000:]
+    combined5 = read_pipeline_output(spark, out)
+    assert combined5.count() == n_input
+    assert combined5.select("conv_id", "turn_idx").distinct().count() == n_input
+    hot5 = read_hot_ordered(spark, os.path.join(out, "hot_ordered"))
+    assert hot5.select("conv_id").distinct().count() == 2
+
 
 def test_order_hot_channel_incremental_offsets(spark, tmp_path):
     """The incremental pass must continue emit_seq and the running depth
@@ -444,6 +467,89 @@ def test_order_hot_channel_incremental_offsets(spark, tmp_path):
     # idempotency: same raw state → no new pass
     st3 = order_hot_channel(spark, raw_path, out_path)
     assert (st3["rows_total"], st3["rows_new"]) == (9, 0)
+
+
+def test_hot_marker_pins_routed_set(tmp_path):
+    """Second-pass review finding: growing the routed set strands the new
+    key (side-channel checkpoint predates its history), shrinking strands
+    the removed key (fresh keyed state waits for turn 1). Both must fail
+    fast; --reset-hot-channel clears the channel and proceeds."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from jobs.run_pipeline import _check_hot_marker
+
+    ckpt_hot = os.path.join(str(tmp_path), "ckpt-hot")
+    hot_raw = os.path.join(str(tmp_path), "hot_raw")
+    _check_hot_marker(ckpt_hot, hot_raw, {"a", "b"}, reset=False)
+    _check_hot_marker(ckpt_hot, hot_raw, {"b", "a"}, reset=False)  # same set ok
+    with pytest.raises(ValueError, match="reset-hot-channel"):
+        _check_hot_marker(ckpt_hot, hot_raw, {"a", "b", "c"}, reset=False)
+    with pytest.raises(ValueError, match="reset-hot-channel"):
+        _check_hot_marker(ckpt_hot, hot_raw, {"a"}, reset=False)
+    os.makedirs(hot_raw, exist_ok=True)
+    _check_hot_marker(ckpt_hot, hot_raw, {"a", "c"}, reset=True)  # reset allows
+    assert not os.path.isdir(hot_raw)  # raw channel cleared for full replay
+    _check_hot_marker(ckpt_hot, hot_raw, {"a", "c"}, reset=False)  # new set pinned
+
+
+def test_read_pipeline_output_supersedes_per_turn(spark, tmp_path):
+    """Supersede by (conv, turn ≤ hot watermark), not whole conv: keyed-sink
+    rows ABOVE the hot channel's release watermark (e.g. after an un-route
+    + reset) must survive the combined read."""
+    import datetime
+
+    from dataflow_ordered_processing_spark.streaming.hotkey import (
+        order_hot_channel,
+        read_pipeline_output,
+    )
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        raw_passthrough_sink,
+    )
+
+    out = os.path.join(str(tmp_path), "out")
+    # hot channel released turns 1..3 of conv h
+    hot_sink = raw_passthrough_sink(os.path.join(out, "hot_raw"))
+    hot_sink(
+        spark.createDataFrame(
+            [("h", t, "user", f"t{t}", None, datetime.datetime(2026, 1, 1))
+             for t in (2, 1, 3)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        ),
+        0,
+    )
+    st = order_hot_channel(
+        spark, os.path.join(out, "hot_raw"), os.path.join(out, "hot_ordered")
+    )
+    assert st == {"rows_total": 3, "rows_new": 3}
+    # keyed data sink holds STALE turns 1..2 of h plus LATER turns 4..5
+    # (post-un-route) and an untouched conv c — full data schema so
+    # read_sink's projection and the union with hot rows line up
+    def full_batch(conv, turns, epoch):
+        rows = [
+            (conv, t, "user", f"t{t}", None, datetime.datetime(2026, 1, 1),
+             t, t, 0, 0, 2, "data")
+            for t in turns
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx long, role string, text string, "
+            "tool string, ts timestamp, emit_seq long, n_user_cum long, "
+            "n_assistant_cum long, n_tool_cum long, chars_cum long, "
+            "row_type string",
+        )
+
+    wb = sk.split_sink(sk.SinkConfig(data_path=os.path.join(out, "data"),
+                                     validate=False))
+    wb(full_batch("h", [1, 2, 4, 5], 0), 0)
+    wb(full_batch("c", [1], 1), 1)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in read_pipeline_output(spark, out).collect()
+    )
+    # h: 1,2,3 from hot (authoritative), 4,5 from data (kept!); c: 1
+    assert got == [("c", 1), ("h", 1), ("h", 2), ("h", 3), ("h", 4), ("h", 5)]
 
 
 def test_keyidx_bootstraps_legacy_sink(spark, tmp_path):
