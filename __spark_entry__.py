@@ -608,6 +608,29 @@ def _q_doc_length_stats(spark, sf_dir):
     return text.doc_length_stats(docs)
 
 
+def _q_repetition_score(spark, sf_dir):
+    """Intra-document repetition quality signal (1 - distinct/total
+    3-grams) — narrow projection, zero shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repetition_score(docs)
+
+
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic content-independent train/val/test assignment by md5
+    hash bucket — stable under re-runs and corpus growth, zero shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.dataset_split(docs)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 8-gram with the
+    (deterministic pseudo-)eval set doc_id % 97 == 0 — broadcast digested
+    benchmark grams, one corpus scan, no corpus shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return text.decontaminate(docs, bench)
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming dedup (dropDuplicatesWithinWatermark on the idempotency
     key) run to completion over the staged arrival stream; first arrival
@@ -825,6 +848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "doc_length_stats": _q_doc_length_stats,
         "stream_dedup": _q_stream_dedup,
+        "repetition_score": _q_repetition_score,
+        "dataset_split": _q_dataset_split,
+        "decontaminate": _q_decontaminate,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -882,6 +908,7 @@ _SESSION_ORACLE = _with_transcripts(
             FROM g GROUP BY conv_id, sid
             """
         )
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1136,6 +1163,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_ORACLE,
         "lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
+        "repetition_score": _REPETITION_ORACLE,
+        "dataset_split": _DATASET_SPLIT_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "simhash": _SIMHASH_ORACLE,
@@ -1363,6 +1393,42 @@ _SHINGLES5 = (
     "list_transform(range(1, greatest(len(w) - 4, 1) + 1), "
     "i -> array_to_string(w[i:i+4], ' '))"
 )
+
+_REPETITION_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),
+g AS (SELECT doc_id, len(w) AS n,
+             list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS grams
+      FROM w)
+SELECT doc_id,
+       CASE WHEN n < 3 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+       END AS rep_score
+FROM g
+"""
+
+_DATASET_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+      FROM documents)
+"""
+
+_SHINGLES8 = (
+    "list_transform(range(1, greatest(len(w) - 7, 1) + 1), "
+    "i -> array_to_string(w[i:i+7], ' '))"
+)
+
+_DECONTAMINATE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES8}) AS sh FROM w),
+doc_g AS (SELECT doc_id, md5(unnest(sh)) AS gh FROM sh),
+bench_g AS (SELECT DISTINCT gh FROM doc_g WHERE doc_id % 97 = 0)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM doc_g d JOIN bench_g b USING (gh)
+GROUP BY d.doc_id
+"""
 
 _MINHASH_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),

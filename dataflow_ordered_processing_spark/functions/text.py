@@ -190,3 +190,82 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
         F.md5(norm).alias("exact_fp"),
         F.array_min(F.transform(shingles, F.md5)).alias("shingle_fp"),
     )
+
+
+def repetition_score(df: DataFrame, col: str = "text", shingle: int = 3) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word n-grams — the
+    standard boilerplate/looping-text quality signal (high score = the doc
+    repeats itself). Pure codegen over an in-row array; no shuffle at all —
+    the plan is a narrow projection, ideal at 100 TB. Docs with fewer than
+    one shingle score 0.0. Returns (doc_id, rep_score) rounded to 6dp for
+    cross-engine exactness."""
+    from .dedup import _norm
+
+    words = F.split(F.trim(_norm(col)), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle)),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    score = F.when(
+        n < shingle, F.lit(0.0)
+    ).otherwise(F.round(1.0 - distinct / total, 6))
+    return df.select("doc_id", score.alias("rep_score"))
+
+
+def dataset_split(
+    df: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash
+    bucket: split = f(md5(key) mod 100). Properties that matter in a real
+    pipeline: stable under re-runs and re-partitioning (no RNG), documents
+    never migrate between splits when the corpus grows, and the operation
+    is a narrow projection (zero shuffle). md5 rather than xxhash64 so the
+    DuckDB oracle is bit-exact. Returns (doc_id, split)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.select("doc_id", split.alias("split"))
+
+
+def decontaminate(
+    df: DataFrame, benchmark: DataFrame, col: str = "text", shingle: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    `shingle`-gram with an evaluation set — the standard n-gram-overlap
+    contamination test run before training. Plan shape for 100 TB: the
+    BENCHMARK side (small by nature — eval sets are thousands of rows) is
+    digested to distinct 16-byte gram hashes and BROADCAST; the corpus
+    explodes its grams once and left-semi-joins the broadcast set, so the
+    corpus is scanned once, never shuffled, and what flows is doc_id +
+    matched digest. Returns (doc_id, n_contaminated_grams) for flagged
+    docs only; drop them with an anti-join on the result."""
+    from .dedup import _word_shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_shingles(col, shingle)).alias("g")
+        )
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        "doc_id", F.explode(_word_shingles(col, shingle)).alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated_grams"))
+    )

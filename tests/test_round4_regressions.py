@@ -141,6 +141,65 @@ def test_dedup_keep_first_transitive_beats_one_round(spark):
     assert exact2 == [0, 1, 4]  # transitive keeps only the component min
 
 
+# ---------------------------------------------------------------- R4-TD
+# Training-data pipeline additions: repetition quality signal, hash-split,
+# benchmark decontamination.
+
+def test_repetition_score(spark):
+    from dataflow_ordered_processing_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),     # one distinct 3-gram
+            (1, "all words here are fully distinct"), # no repeated 3-gram
+            (2, "hi"),                                # < 3 words → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep_score"] for r in T.repetition_score(docs).collect()}
+    assert got[0] == round(1 - 1 / 4, 6)  # 4 shingles, 1 distinct
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
+def test_dataset_split_deterministic_and_complete(spark):
+    from dataflow_ordered_processing_spark.functions import text as T
+
+    docs = spark.range(2000).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["split"] for r in T.dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in T.dataset_split(docs).collect()}
+    assert a == b  # content-independent, rerun-stable
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.85 < c["train"] / 2000 < 0.95  # ~90/5/5 hash split
+    # growing the corpus never migrates existing docs
+    grown = {r["doc_id"]: r["split"]
+             for r in T.dataset_split(spark.range(4000).selectExpr("id AS doc_id")).collect()}
+    assert all(grown[k] == v for k, v in a.items())
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from dataflow_ordered_processing_spark.functions import text as T
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "entirely unrelated content with no overlap at all in any gram here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in T.decontaminate(docs, bench, shingle=8).collect()}
+    assert 1 in got and got[1] >= 1  # shares the benchmark 8-grams
+    assert 2 not in got              # clean doc not flagged
+
+
 # ---------------------------------------------------------------- R4-KX
 # merge_on_key key index (VERDICT r3 what's-wrong #1): the merge filter must
 # consult a COMPACT per-conversation high-watermark index whose scan volume
