@@ -771,6 +771,21 @@ def _q_cosine_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup(embs, threshold=0.35, n_planes=4)
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """Connected components over the embedding cosine near-dup graph — the
+    CC resolver applied to the similarity family (same operator as
+    dedup_clusters, pairs from cosine_near_dup). Every vector labelled by
+    the minimum vec_id transitively reachable above the threshold."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.cosine_near_dup(embs, threshold=0.35, n_planes=4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    ids = embs.select(F.col("vec_id").alias("doc_id"))
+    return dedup.dedup_clusters(ids, pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.createOrReplaceTempView("events")
@@ -858,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "cosine_near_dup": _q_cosine_near_dup,
+        "embedding_clusters": _q_embedding_clusters,
         "status_history": _q_status_history,
         "latest_status_per_key": _q_latest_status_per_key,
     }
@@ -1176,6 +1192,28 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "cosine_near_dup": _cosine_near_dup_oracle(),
+        # transitive closure over the same near-dup pair SQL, labelled by
+        # min reachable vec_id (the dedup_clusters recursive-CTE pattern)
+        "embedding_clusters": (
+            "WITH RECURSIVE pairs AS (" + _cosine_near_dup_oracle() + """),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT emb.vec_id, CAST(coalesce(l.cluster_id, emb.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings emb LEFT JOIN labels l USING (vec_id)
+"""
+        ),
         "status_history": _STATUS_HISTORY_ORACLE,
         "latest_status_per_key": _LATEST_STATUS_ORACLE,
     }
