@@ -105,6 +105,8 @@ def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> Non
         shutil.rmtree(hot_raw, ignore_errors=True)
     marker = os.path.join(ckpt_hot, "_hot_keys.json")
     current = sorted(hot)
+    if not hot and not os.path.exists(marker):
+        return  # routing never enabled here — nothing to pin or clear
     if os.path.exists(marker):
         with open(marker) as f:
             prior = _json.load(f)
@@ -123,6 +125,8 @@ def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> Non
                 "are kept and deduplicated by release watermark), or "
                 "restore the prior --hot-keys set."
             )
+    if not hot:
+        return  # reset cleared the channel and routing is now disabled
     os.makedirs(ckpt_hot, exist_ok=True)
     with open(marker, "w") as f:
         _json.dump(current, f)
@@ -219,7 +223,7 @@ def main() -> int:
         "two-phase salted batch plan into <out>/hot_ordered — one key "
         "spread across the whole cluster. Incremental: each pass sorts and "
         "writes only turns past the conversation's prior release watermark "
-        "(upto=<epoch> commit dirs). hot_ordered SUPERSEDES any earlier "
+        "(pass=<n> commit dirs). hot_ordered SUPERSEDES any earlier "
         "data-sink rows of routed conversations — read the combined output "
         "with streaming.hotkey.read_pipeline_output",
     )
@@ -312,13 +316,16 @@ def main() -> int:
         hot |= _hot_candidates(spark, sink.data_path, args.hot_key_threshold)
     hot_q = None
     hot_raw = os.path.join(args.out, "hot_raw")
+    # the guard runs even with an EMPTY hot set: un-routing everything is
+    # still a routed-set change the marker must refuse (or --reset-hot-
+    # channel must clear) — review finding r4c
+    _check_hot_marker(
+        args.checkpoint + "-hot", hot_raw, hot, args.reset_hot_channel
+    )
     if hot:
         from pyspark.sql import functions as F
 
         hot_list = sorted(hot)
-        _check_hot_marker(
-            args.checkpoint + "-hot", hot_raw, hot, args.reset_hot_channel
-        )
         print(json.dumps({"hot_keys_routed": hot_list}))
         hot_writer = (
             src.filter(F.col("conv_id").isin(hot_list))
@@ -330,7 +337,12 @@ def main() -> int:
         if args.available_now:
             hot_writer = hot_writer.trigger(availableNow=True)
         hot_q = hot_writer.start()
-        src = src.filter(~F.col("conv_id").isin(hot_list))
+        # NULL keys stay in the MAIN stream (three-valued logic: a bare
+        # ~isin is NULL for NULL keys, silently dropping the row from BOTH
+        # channels — the sink's null_key DLQ check must still see it)
+        src = src.filter(
+            F.col("conv_id").isNull() | ~F.col("conv_id").isin(hot_list)
+        )
 
     n_shards = args.n_shards
     if args.engine == "sharded":
@@ -370,7 +382,7 @@ def main() -> int:
     if hot_q is not None:
         # order the accumulated side channel: incremental (only each conv's
         # suffix past its prior release watermark is sorted and written),
-        # idempotent (upto=<max raw epoch> commit dirs), distributed
+        # idempotent (pass=<n> commit dirs), distributed
         # two-phase salted plan. Read the combined output with
         # hotkey.read_pipeline_output — hot_ordered supersedes any earlier
         # data-sink rows of routed conversations.

@@ -368,7 +368,7 @@ def test_hot_key_routing_pipeline(tmp_path):
     assert result["hot_rows_ordered"] == hot_n
     assert result["rows_emitted"] == n_input - hot_n  # cold side complete
     # the side channel is exactly ordered: turn_idx == 1..n in emit order
-    # (layout r4b: upto=<epoch> commit dirs — incremental passes)
+    # (layout r4c: pass=<n> commit dirs — incremental passes)
     got = con.execute(
         f"SELECT turn_idx FROM read_parquet('{out}/hot_ordered/*/*.parquet') "
         f"WHERE conv_id = '{hot_conv}' ORDER BY emit_seq"
@@ -431,10 +431,10 @@ def test_hot_key_supersede_and_incremental(spark, tmp_path):
     )
     hot1 = read_hot_ordered(spark, os.path.join(out, "hot_ordered"))
     n_hot = hot1.count()
-    upto_dirs_1 = os.listdir(os.path.join(out, "hot_ordered"))
+    pass_dirs_1 = os.listdir(os.path.join(out, "hot_ordered"))
 
     # run 3: same checkpoint, no new source data — the ordering pass must
-    # be a no-op (idempotent upto marker, rows_new == 0)
+    # be a no-op (pass meta matches the raw state, rows_new == 0)
     r3 = subprocess.run(
         base_cmd + ["--hot-keys", "conv-000000"],
         capture_output=True, text=True, timeout=600,
@@ -445,7 +445,7 @@ def test_hot_key_supersede_and_incremental(spark, tmp_path):
     res3 = [_json.loads(l) for l in r3.stdout.splitlines() if l.startswith("{")][-1]
     assert res3.get("hot_rows_new", 0) == 0
     assert res3["hot_rows_ordered"] == n_hot
-    assert os.listdir(os.path.join(out, "hot_ordered")) == upto_dirs_1
+    assert os.listdir(os.path.join(out, "hot_ordered")) == pass_dirs_1
 
     # run 4: CHANGED routed set without reset → refused by the marker
     # (growing it would strand the new key's pre-checkpoint history)
@@ -550,6 +550,13 @@ def test_hot_marker_pins_routed_set(tmp_path):
     _check_hot_marker(ckpt_hot, hot_raw, {"a", "c"}, reset=True)  # reset allows
     assert not os.path.isdir(hot_raw)  # raw channel cleared for full replay
     _check_hot_marker(ckpt_hot, hot_raw, {"a", "c"}, reset=False)  # new set pinned
+    # r4c: shrinking to EMPTY is still a routed-set change — must refuse
+    with pytest.raises(ValueError, match="reset-hot-channel"):
+        _check_hot_marker(ckpt_hot, hot_raw, set(), reset=False)
+    _check_hot_marker(ckpt_hot, hot_raw, set(), reset=True)  # reset un-routes
+    assert not os.path.exists(os.path.join(ckpt_hot, "_hot_keys.json"))
+    # with routing never enabled, an empty set is a clean no-op
+    _check_hot_marker(ckpt_hot, hot_raw, set(), reset=False)
 
 
 def test_read_pipeline_output_supersedes_per_turn(spark, tmp_path):
