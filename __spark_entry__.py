@@ -473,6 +473,55 @@ def _q_tumbling_stream_append(spark, sf_dir):
     )
 
 
+def _q_tumbling_stream_late_drop(spark, sf_dir):
+    """N4 late-data policy, driver-checked: a deterministic subset of rows
+    (turn_idx % 7 == 3) is withheld from the first micro-batch; a sentinel
+    then advances the watermark past EVERY real event time; the withheld
+    rows arrive afterwards — all strictly below the watermark — and append
+    mode must DROP them (their windows are already finalized). The oracle
+    is the batch tumbling aggregation over the ON-TIME rows only."""
+    import time as _time
+
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming.windows import (
+        stream_tumbling_tool_counts,
+    )
+
+    t = derive_transcripts(spark, sf_dir)
+    late = F.col("turn_idx") % 7 == 3
+    on_time = t.filter(~late)
+    expected = A.tumbling_tool_counts(on_time).count()
+    max_ts = t.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    stage = _stage_dir("tumbling-late-src")
+    on_time.write.mode("append").parquet(stage)
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    name = "tumbling_stream_late_drop_out"
+    q = (
+        stream_tumbling_tool_counts(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: on-time rows
+        spark.createDataFrame(
+            [("zz-watermark-sentinel", 1, "user", "", None,
+              max_ts + datetime.timedelta(days=1))],
+            schema=TRANSCRIPT_SCHEMA,
+        ).write.mode("append").parquet(stage)
+        q.processAllAvailable()  # batch 2: watermark passes every real ts
+        deadline = _time.time() + 120
+        while spark.table(name).count() < expected and _time.time() < deadline:
+            _time.sleep(0.25)
+        # batch 3: the late subset — every row below the watermark → DROPPED
+        t.filter(late).write.mode("append").parquet(stage)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_sliding_stream_append(spark, sf_dir):
     """N2 streaming form, append mode (watermark-finalized sliding windows;
     same exact oracle as the batch sliding_turn_rate)."""
@@ -833,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_tool_counts": _q_tumbling,
         "tumbling_stream": _q_tumbling_stream,
         "tumbling_stream_append": _q_tumbling_stream_append,
+        "tumbling_stream_late_drop": _q_tumbling_stream_late_drop,
         "sliding_stream_append": _q_sliding_stream_append,
         "session_stream_append": _q_session_stream_append,
         "sliding_turn_rate": _q_sliding,
@@ -992,6 +1042,18 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_tool_counts": _TUMBLING_ORACLE,
         "tumbling_stream": _TUMBLING_ORACLE,
         "tumbling_stream_append": _TUMBLING_ORACLE,
+        # late subset (turn_idx % 7 == 3) is below the watermark on arrival
+        # → dropped; the stream output equals the ON-TIME-only aggregation
+        "tumbling_stream_late_drop": _with_transcripts(
+            """
+            SELECT conv_id,
+                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+                       AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls
+            FROM transcripts WHERE turn_idx % 7 <> 3 GROUP BY 1, 2
+            """
+        ),
         "sliding_turn_rate": _SLIDING_ORACLE,
         "sliding_stream": _SLIDING_ORACLE,
         "sliding_stream_append": _SLIDING_ORACLE,
