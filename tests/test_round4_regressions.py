@@ -141,6 +141,54 @@ def test_dedup_keep_first_transitive_beats_one_round(spark):
     assert exact2 == [0, 1, 4]  # transitive keeps only the component min
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_dedup_clusters_matches_union_find(edges):
+    """Property: for ANY pair graph, the min-label fixpoint equals a plain
+    union-find's component minima (the reference implementation the Spark
+    operator must agree with). hypothesis can't take pytest fixtures, so
+    the session comes from get_spark's getOrCreate (same config as the
+    conftest fixture — reuses it when already up)."""
+    from dataflow_ordered_processing_spark.functions import dedup
+    from dataflow_ordered_processing_spark.session import get_spark
+
+    spark = get_spark("pytest", master="local[4]", shuffle_partitions=4)
+
+    n = 10
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in range(n)}
+
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "doc_a long, doc_b long",
+    ).filter("doc_a <> doc_b")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == expected
+
+
 # ---------------------------------------------------------------- R4-TD
 # Training-data pipeline additions: repetition quality signal, hash-split,
 # benchmark decontamination.
