@@ -415,7 +415,8 @@ def _q_tumbling_stream(spark, sf_dir):
     )
 
 
-def _stream_agg_append(spark, sf_dir, build, expected: int, name: str):
+def _stream_agg_append(spark, sf_dir, build, expected: int, name: str,
+                       source_df=None, late_df=None):
     """Run a streaming windowed aggregation in APPEND output mode — the
     production mode, where rows are emitted only on WATERMARK FINALIZATION
     (complete mode never exercises it). A sentinel row with an event time
@@ -431,7 +432,7 @@ def _stream_agg_append(spark, sf_dir, build, expected: int, name: str):
 
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
 
-    t = derive_transcripts(spark, sf_dir)
+    t = source_df if source_df is not None else derive_transcripts(spark, sf_dir)
     max_ts = t.agg(F.max("ts").alias("m")).collect()[0]["m"]
     stage = _stage_dir(f"{name}-src")
     t.write.mode("append").parquet(stage)
@@ -455,6 +456,19 @@ def _stream_agg_append(spark, sf_dir, build, expected: int, name: str):
         deadline = _time.time() + 120
         while spark.table(name).count() < expected and _time.time() < deadline:
             _time.sleep(0.25)  # the flush lands on a no-data micro-batch
+        got = spark.table(name).count()
+        if got < expected:
+            # a silent short table would read as wrong DROP semantics at the
+            # gate; distinguish "flush never happened" loudly instead
+            raise TimeoutError(
+                f"{name}: watermark flush incomplete after 120s "
+                f"({got}/{expected} rows in the memory sink)"
+            )
+        if late_df is not None:
+            # N4: rows strictly below the watermark — append mode must DROP
+            # them (their windows are already finalized)
+            late_df.write.mode("append").parquet(stage)
+            q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(name)
@@ -475,14 +489,11 @@ def _q_tumbling_stream_append(spark, sf_dir):
 
 def _q_tumbling_stream_late_drop(spark, sf_dir):
     """N4 late-data policy, driver-checked: a deterministic subset of rows
-    (turn_idx % 7 == 3) is withheld from the first micro-batch; a sentinel
-    then advances the watermark past EVERY real event time; the withheld
-    rows arrive afterwards — all strictly below the watermark — and append
-    mode must DROP them (their windows are already finalized). The oracle
-    is the batch tumbling aggregation over the ON-TIME rows only."""
-    import time as _time
-
-    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    (turn_idx % 7 == 3) is withheld from the first micro-batch; the shared
+    append helper advances the watermark past every real event time with
+    its sentinel, then delivers the withheld rows — all strictly below the
+    watermark — and append mode must DROP them. Oracle = batch tumbling
+    aggregation over the ON-TIME rows only."""
     from dataflow_ordered_processing_spark.streaming.windows import (
         stream_tumbling_tool_counts,
     )
@@ -491,35 +502,14 @@ def _q_tumbling_stream_late_drop(spark, sf_dir):
     late = F.col("turn_idx") % 7 == 3
     on_time = t.filter(~late)
     expected = A.tumbling_tool_counts(on_time).count()
-    max_ts = t.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    stage = _stage_dir("tumbling-late-src")
-    on_time.write.mode("append").parquet(stage)
-    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
-    name = "tumbling_stream_late_drop_out"
-    q = (
-        stream_tumbling_tool_counts(src)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    # max_ts for the sentinel must span the FULL data (late rows included)
+    # so even the late subset sits below the advanced watermark; the helper
+    # computes it from source_df, and late ts ≤ real max < sentinel-delay
+    return _stream_agg_append(
+        spark, sf_dir, stream_tumbling_tool_counts, expected,
+        "tumbling_stream_late_drop_out",
+        source_df=on_time, late_df=t.filter(late),
     )
-    try:
-        q.processAllAvailable()  # batch 1: on-time rows
-        spark.createDataFrame(
-            [("zz-watermark-sentinel", 1, "user", "", None,
-              max_ts + datetime.timedelta(days=1))],
-            schema=TRANSCRIPT_SCHEMA,
-        ).write.mode("append").parquet(stage)
-        q.processAllAvailable()  # batch 2: watermark passes every real ts
-        deadline = _time.time() + 120
-        while spark.table(name).count() < expected and _time.time() < deadline:
-            _time.sleep(0.25)
-        # batch 3: the late subset — every row below the watermark → DROPPED
-        t.filter(late).write.mode("append").parquet(stage)
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
 
 
 def _q_sliding_stream_append(spark, sf_dir):

@@ -102,7 +102,14 @@ def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> Non
 
     if reset:
         shutil.rmtree(ckpt_hot, ignore_errors=True)
-        shutil.rmtree(hot_raw, ignore_errors=True)
+        if hot:
+            # safe only because the NEXT run's fresh side-channel checkpoint
+            # replays the whole source and regenerates the raw rows
+            shutil.rmtree(hot_raw, ignore_errors=True)
+        # hot empty (routing being disabled): PRESERVE hot_raw — no future
+        # replay would regenerate it, and it may hold routed rows not yet
+        # released to hot_ordered (r4d review: deleting here silently lost
+        # them). Drain offline with streaming.hotkey.order_hot_channel.
     marker = os.path.join(ckpt_hot, "_hot_keys.json")
     current = sorted(hot)
     if not hot and not os.path.exists(marker):

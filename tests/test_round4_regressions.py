@@ -601,8 +601,12 @@ def test_hot_marker_pins_routed_set(tmp_path):
     # r4c: shrinking to EMPTY is still a routed-set change — must refuse
     with pytest.raises(ValueError, match="reset-hot-channel"):
         _check_hot_marker(ckpt_hot, hot_raw, set(), reset=False)
+    # r4d: disabling routing via reset must PRESERVE hot_raw (no future
+    # replay regenerates it; it may hold unreleased routed rows)
+    os.makedirs(hot_raw, exist_ok=True)
     _check_hot_marker(ckpt_hot, hot_raw, set(), reset=True)  # reset un-routes
     assert not os.path.exists(os.path.join(ckpt_hot, "_hot_keys.json"))
+    assert os.path.isdir(hot_raw)
     # with routing never enabled, an empty set is a clean no-op
     _check_hot_marker(ckpt_hot, hot_raw, set(), reset=False)
 
@@ -664,6 +668,70 @@ def test_read_pipeline_output_supersedes_per_turn(spark, tmp_path):
     )
     # h: 1,2,3 from hot (authoritative), 4,5 from data (kept!); c: 1
     assert got == [("c", 1), ("h", 1), ("h", 2), ("h", 3), ("h", 4), ("h", 5)]
+
+
+def test_null_key_reaches_dlq_under_hot_routing(spark, tmp_path):
+    """r4c fix regression: with hot routing active, a NULL conv_id row must
+    stay in the MAIN stream and land in the DLQ (null_key) — a bare ~isin
+    filter is NULL for NULL keys and silently dropped it from BOTH
+    channels."""
+    import datetime
+    import glob
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(str(tmp_path), "src")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    n_input = _gen_input_subprocess(repo, src, 600, 6)
+    # inject one NULL-key arrival (explicit schema: an all-None object
+    # column would otherwise be written as INT32)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([None], type=pa.string()),
+                "turn_idx": pa.array([1], type=pa.int32()),
+                "role": pa.array(["user"], type=pa.string()),
+                "text": pa.array(["orphan"], type=pa.string()),
+                "tool": pa.array([None], type=pa.string()),
+                "ts": pa.array([datetime.datetime(2026, 1, 1)],
+                               type=pa.timestamp("us")),
+            }
+        ),
+        os.path.join(src, "part-null-key.parquet"),
+    )
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now", "--master", "local[4]",
+            "--shuffle-partitions", "4", "--no-warmup",
+            "--hot-keys", "conv-000000",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    dlq_files = glob.glob(os.path.join(out, "dlq", "epoch=*", "*.parquet"))
+    assert dlq_files, "NULL-key row never reached the DLQ"
+    import duckdb
+
+    con = duckdb.connect()
+    # the operator emits BOTH a data row and a status row for the NULL
+    # group; both carry a NULL key and both belong in the DLQ
+    n_null = con.execute(
+        f"SELECT count(*) FROM read_parquet({dlq_files!r}) "
+        "WHERE dlq_error = 'null_key'"
+    ).fetchone()[0]
+    assert n_null == 2
+    n_data = con.execute(
+        f"SELECT count(*) FROM read_parquet({dlq_files!r}) "
+        "WHERE dlq_error = 'null_key' AND row_type = 'data' AND text = 'orphan'"
+    ).fetchone()[0]
+    assert n_data == 1
 
 
 def test_keyidx_bootstraps_legacy_sink(spark, tmp_path):

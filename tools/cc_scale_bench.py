@@ -29,9 +29,15 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
     # the mixed-corpus expected-label algebra assumes n/2 is a multiple of
-    # 100 (star hubs) and 50 (chain starts) — round down rather than report
-    # bogus mislabels for off-sized --n (review finding r4c)
-    args.n = max(200, args.n - args.n % 200)
+    # 100 (star hubs) and 50 (chain starts): clamp --n to the nearest valid
+    # size (min 200) and SAY SO — a silently different workload than
+    # requested would make external comparisons mismatched (r4d review)
+    n_eff = max(200, args.n - args.n % 200)
+    if n_eff != args.n:
+        print(json.dumps({"event": "n_adjusted", "requested": args.n,
+                          "effective": n_eff,
+                          "reason": "n must be a multiple of 200 (>=200)"}))
+        args.n = n_eff
 
     from pyspark.sql import functions as F
 
