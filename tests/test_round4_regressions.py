@@ -189,6 +189,60 @@ def test_dedup_clusters_matches_union_find(edges):
     assert got == expected
 
 
+@given(st.data())
+@settings(max_examples=5, deadline=None)
+def test_keyidx_merge_property(data):
+    """Property: for ANY contiguous-emission history with arbitrary
+    cross-epoch replays, the merged sink holds exactly the first delivery
+    of every key — same reference semantics as a set-based dedup."""
+    import shutil
+    import tempfile
+
+    from dataflow_ordered_processing_spark.session import get_spark
+    from dataflow_ordered_processing_spark.streaming import sinks as _sk
+
+    spark = get_spark("pytest", master="local[4]", shuffle_partitions=4)
+    path = tempfile.mkdtemp(prefix="keyidx-prop-") + "/data"
+    try:
+        wb = _sk.split_sink(
+            _sk.SinkConfig(data_path=path, validate=False, merge_on_key=True)
+        )
+        convs = ["a", "b", "c"]
+        next_turn = {c: 1 for c in convs}
+        expected: set = set()
+        n_epochs = data.draw(st.integers(2, 5))
+        for e in range(n_epochs):
+            rows = []
+            for c in convs:
+                # fresh contiguous turns (operator emission contract)
+                k = data.draw(st.integers(0, 3))
+                for t in range(next_turn[c], next_turn[c] + k):
+                    rows.append((c, t, "data"))
+                    expected.add((c, t))
+                next_turn[c] += k
+                # cross-epoch replay of an arbitrary already-emitted prefix
+                if next_turn[c] > 1 and data.draw(st.booleans()):
+                    upto = data.draw(st.integers(1, next_turn[c] - 1))
+                    rows.extend((c, t, "data") for t in range(1, upto + 1))
+            if not rows:
+                rows = [("a", 0, "status")]  # keep the epoch non-degenerate
+            wb(
+                spark.createDataFrame(
+                    rows, "conv_id string, turn_idx long, row_type string"
+                ),
+                e,
+            )
+        got = {
+            (r["conv_id"], r["turn_idx"])
+            for r in _sk.read_sink(spark, path, table="unified")
+            .filter("row_type = 'data'")
+            .collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
 # ---------------------------------------------------------------- R4-TD
 # Training-data pipeline additions: repetition quality signal, hash-split,
 # benchmark decontamination.
