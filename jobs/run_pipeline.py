@@ -109,7 +109,7 @@ def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> Non
         # hot empty (routing being disabled): PRESERVE hot_raw — no future
         # replay would regenerate it, and it may hold routed rows not yet
         # released to hot_ordered (r4d review: deleting here silently lost
-        # them). Drain offline with streaming.hotkey.order_hot_channel.
+        # them). Drain offline with tools/drain_hot_channel.py.
     marker = os.path.join(ckpt_hot, "_hot_keys.json")
     current = sorted(hot)
     if not hot and not os.path.exists(marker):
