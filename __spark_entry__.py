@@ -416,7 +416,7 @@ def _q_tumbling_stream(spark, sf_dir):
 
 
 def _stream_agg_append(spark, sf_dir, build, expected: int, name: str,
-                       source_df=None, late_df=None):
+                       source_df=None, late_df=None, span_df=None):
     """Run a streaming windowed aggregation in APPEND output mode — the
     production mode, where rows are emitted only on WATERMARK FINALIZATION
     (complete mode never exercises it). A sentinel row with an event time
@@ -433,7 +433,11 @@ def _stream_agg_append(spark, sf_dir, build, expected: int, name: str,
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
 
     t = source_df if source_df is not None else derive_transcripts(spark, sf_dir)
-    max_ts = t.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # the sentinel must clear EVERY row that will ever arrive — including a
+    # late_df whose timestamps may exceed the on-time max — so the span
+    # defaults to t but callers with withheld data pass the full set
+    span = span_df if span_df is not None else t
+    max_ts = span.agg(F.max("ts").alias("m")).collect()[0]["m"]
     stage = _stage_dir(f"{name}-src")
     t.write.mode("append").parquet(stage)
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
@@ -502,13 +506,13 @@ def _q_tumbling_stream_late_drop(spark, sf_dir):
     late = F.col("turn_idx") % 7 == 3
     on_time = t.filter(~late)
     expected = A.tumbling_tool_counts(on_time).count()
-    # max_ts for the sentinel must span the FULL data (late rows included)
-    # so even the late subset sits below the advanced watermark; the helper
-    # computes it from source_df, and late ts ≤ real max < sentinel-delay
+    # span_df=t: the sentinel clears the FULL data's max ts, so the late
+    # subset is below the watermark no matter where its timestamps fall —
+    # the invariant holds by construction, not by the 1-day >> 10-min margin
     return _stream_agg_append(
         spark, sf_dir, stream_tumbling_tool_counts, expected,
         "tumbling_stream_late_drop_out",
-        source_df=on_time, late_df=t.filter(late),
+        source_df=on_time, late_df=t.filter(late), span_df=t,
     )
 
 
@@ -922,16 +926,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ONE definition per window oracle (review finding r4b: the batch form,
 # the complete-mode stream, and the append-mode stream are row-identical
 # by design — duplicated SQL strings would drift apart on the next edit)
-_TUMBLING_ORACLE = _with_transcripts(
-            """
+def _tumbling_oracle(where: str = "") -> str:
+    """ONE body for every tumbling-window oracle variant (batch, complete-
+    mode stream, append-mode stream, late-drop) — a WHERE clause is the only
+    thing that may differ."""
+    return _with_transcripts(
+        f"""
             SELECT conv_id,
                    make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
                        AS window_start,
                    CAST(count(*) AS BIGINT) AS n_turns,
                    CAST(count(tool) AS BIGINT) AS n_tool_calls
-            FROM transcripts GROUP BY 1, 2
+            FROM transcripts {where} GROUP BY 1, 2
             """
-        )
+    )
+
+
+_TUMBLING_ORACLE = _tumbling_oracle()
 
 _SLIDING_ORACLE = _with_transcripts(
             """
@@ -1034,16 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_stream_append": _TUMBLING_ORACLE,
         # late subset (turn_idx % 7 == 3) is below the watermark on arrival
         # → dropped; the stream output equals the ON-TIME-only aggregation
-        "tumbling_stream_late_drop": _with_transcripts(
-            """
-            SELECT conv_id,
-                   make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
-                       AS window_start,
-                   CAST(count(*) AS BIGINT) AS n_turns,
-                   CAST(count(tool) AS BIGINT) AS n_tool_calls
-            FROM transcripts WHERE turn_idx % 7 <> 3 GROUP BY 1, 2
-            """
-        ),
+        "tumbling_stream_late_drop": _tumbling_oracle("WHERE turn_idx % 7 <> 3"),
         "sliding_turn_rate": _SLIDING_ORACLE,
         "sliding_stream": _SLIDING_ORACLE,
         "sliding_stream_append": _SLIDING_ORACLE,

@@ -110,10 +110,28 @@ def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> Non
         # replay would regenerate it, and it may hold routed rows not yet
         # released to hot_ordered (r4d review: deleting here silently lost
         # them). Drain offline with tools/drain_hot_channel.py.
+    from dataflow_ordered_processing_spark.streaming.sinks import epoch_dirs
+
     marker = os.path.join(ckpt_hot, "_hot_keys.json")
     current = sorted(hot)
     if not hot and not os.path.exists(marker):
         return  # routing never enabled here — nothing to pin or clear
+    if hot and not os.path.exists(marker) and epoch_dirs(hot_raw):
+        # r4e: a PRESERVED channel (left by a disable-reset) with no marker
+        # — enabling routing now would replay the source into epoch ids
+        # restarting at 0, and the epoch-idempotent raw sink would SKIP
+        # every preserved epoch dir, silently stranding the new key's
+        # replayed history. Refuse; reset deletes the stale channel (its
+        # released rows live on in hot_ordered, and unreleased rows should
+        # be drained first with tools/drain_hot_channel.py).
+        raise ValueError(
+            f"hot_raw at {hot_raw!r} holds committed epochs from a previous "
+            "routing configuration but no routed-set marker exists (routing "
+            "was disabled with --reset-hot-channel). Enabling routing over "
+            "the preserved channel would silently skip replayed epochs. "
+            "Drain it first (tools/drain_hot_channel.py), then re-run with "
+            "--reset-hot-channel to clear it and replay the source."
+        )
     if os.path.exists(marker):
         with open(marker) as f:
             prior = _json.load(f)

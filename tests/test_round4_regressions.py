@@ -214,16 +214,21 @@ def test_keyidx_merge_property(data):
         for e in range(n_epochs):
             rows = []
             for c in convs:
+                # cross-epoch replay of a PRIOR-epoch prefix only (the
+                # operator contract: a batch never duplicates its own fresh
+                # emissions — r4e review: drawing the bound after adding
+                # fresh turns allowed same-epoch duplicates the set compare
+                # then masked)
+                prev_hi = next_turn[c] - 1
+                if prev_hi >= 1 and data.draw(st.booleans()):
+                    upto = data.draw(st.integers(1, prev_hi))
+                    rows.extend((c, t, "data") for t in range(1, upto + 1))
                 # fresh contiguous turns (operator emission contract)
                 k = data.draw(st.integers(0, 3))
                 for t in range(next_turn[c], next_turn[c] + k):
                     rows.append((c, t, "data"))
                     expected.add((c, t))
                 next_turn[c] += k
-                # cross-epoch replay of an arbitrary already-emitted prefix
-                if next_turn[c] > 1 and data.draw(st.booleans()):
-                    upto = data.draw(st.integers(1, next_turn[c] - 1))
-                    rows.extend((c, t, "data") for t in range(1, upto + 1))
             if not rows:
                 rows = [("a", 0, "status")]  # keep the epoch non-degenerate
             wb(
@@ -232,13 +237,18 @@ def test_keyidx_merge_property(data):
                 ),
                 e,
             )
-        got = {
+        from collections import Counter
+
+        got = Counter(
             (r["conv_id"], r["turn_idx"])
             for r in _sk.read_sink(spark, path, table="unified")
             .filter("row_type = 'data'")
             .collect()
-        }
-        assert got == expected
+        )
+        # MULTIPLICITY matters (a set compare would mask double-writes):
+        # every key exactly once, no extras, none missing
+        assert set(got) == expected
+        assert all(v == 1 for v in got.values()), got
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
@@ -663,6 +673,16 @@ def test_hot_marker_pins_routed_set(tmp_path):
     assert os.path.isdir(hot_raw)
     # with routing never enabled, an empty set is a clean no-op
     _check_hot_marker(ckpt_hot, hot_raw, set(), reset=False)
+    # r4e: RE-enabling routing over a preserved channel (committed epochs,
+    # no marker) must refuse — a fresh side-channel checkpoint would replay
+    # into epoch ids the idempotent raw sink skips, stranding the new key
+    ep = os.path.join(hot_raw, "epoch=0")
+    os.makedirs(ep, exist_ok=True)
+    open(os.path.join(ep, "_SUCCESS"), "w").close()
+    with pytest.raises(ValueError, match="preserved"):
+        _check_hot_marker(ckpt_hot, hot_raw, {"b"}, reset=False)
+    _check_hot_marker(ckpt_hot, hot_raw, {"b"}, reset=True)  # reset clears it
+    assert not os.path.isdir(hot_raw)
 
 
 def test_read_pipeline_output_supersedes_per_turn(spark, tmp_path):
