@@ -114,7 +114,12 @@ def minhash_lsh_pairs(
     is a semantic change callers must ask for, and any oracle/expectation
     checked against this function must model the same cap. A production
     100-TB pass should set it (1024 is a reasonable ceiling) after reviewing
-    ``lsh_bucket_stats``."""
+    ``lsh_bucket_stats``. Caller audit (ADVICE r5, default 1024→None flip):
+    the only uncapped callers in this repo are the driver-gate queries in
+    ``__spark_entry__`` over the bounded sf test corpora, where exhaustive
+    candidates are exactly what the oracle models; no jobs/ or tools/ code
+    path calls this without an explicit cap — new batch-pipeline callers
+    must pass one."""
     exploded = _band_table(df, col, k, bands, shingle)
     # self-join: without materialization, BOTH sides recompute the whole
     # shingle→minhash pipeline. localCheckpoint (eager) computes the band

@@ -49,6 +49,32 @@ _DEPTHS = ["n_user_cum", "n_assistant_cum", "n_tool_cum", "chars_cum"]
 _OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "emit_seq", *_DEPTHS]
 
 
+def _raw_state(raw_path: str, committed: list[str]) -> dict:
+    """No-op fingerprint of the raw channel. Must be CONTENT-aware: after
+    --reset-hot-channel a replay restarts epoch ids at 0, so (max_epoch,
+    n_epochs) alone can collide with a pre-reset pass covering different
+    rows (caught by test_hot_key_supersede_and_incremental run 5). Digest
+    the sorted (relative path, size) list of every committed file — still
+    metadata-only (no data read), but collision-proof where a single byte
+    TOTAL is not (ADVICE r5: distinct raw contents with equal totals
+    collided and silently skipped ordering new rows; Spark part-file names
+    embed a per-write UUID, so a replay with different rows always changes
+    the file list)."""
+    import hashlib
+
+    entries: list[str] = []
+    for d in committed:
+        for root, _, files in os.walk(d):
+            for fname in files:
+                p = os.path.join(root, fname)
+                entries.append(f"{os.path.relpath(p, raw_path)}:{os.path.getsize(p)}")
+    return {
+        "raw_max_epoch": max(int(p.rsplit("=", 1)[1]) for p in committed),
+        "raw_epochs": len(committed),
+        "raw_files_md5": hashlib.md5(";".join(sorted(entries)).encode()).hexdigest(),
+    }
+
+
 def _committed_pass_dirs(out_path: str) -> list[tuple[int, str]]:
     """Committed ordering passes, ascending. Dir name = monotone PASS index
     (decoupled from raw epoch ids: a --reset-hot-channel replay restarts
@@ -106,23 +132,7 @@ def order_hot_channel(
     committed = epoch_dirs(raw_path)
     if raw is None or not committed:
         return {"rows_total": 0, "rows_new": 0}
-    # no-op fingerprint must be CONTENT-aware: after --reset-hot-channel a
-    # replay restarts epoch ids at 0, so (max_epoch, n_epochs) alone can
-    # collide with a pre-reset pass covering different rows (caught by
-    # test_hot_key_supersede_and_incremental run 5). Total committed bytes
-    # disambiguates without reading any data — and a byte-identical replay
-    # IS a true no-op (same rows, all at/below the release watermarks).
-    raw_bytes = 0
-    for d in committed:
-        for root, _, files in os.walk(d):
-            raw_bytes += sum(
-                os.path.getsize(os.path.join(root, f)) for f in files
-            )
-    raw_state = {
-        "raw_max_epoch": max(int(p.rsplit("=", 1)[1]) for p in committed),
-        "raw_epochs": len(committed),
-        "raw_bytes": raw_bytes,
-    }
+    raw_state = _raw_state(raw_path, committed)
     passes = _committed_pass_dirs(out_path)
     meta = _latest_meta(out_path)
     if meta is not None and all(meta.get(k) == v for k, v in raw_state.items()):

@@ -191,8 +191,13 @@ def _write_keyidx_delta(data_rows: DataFrame, data_path: str, epoch_id: int) -> 
     if os.path.exists(os.path.join(target, "_SUCCESS")):
         return
     (
+        # hi_turn is pinned to BIGINT at write time: batches arrive with int
+        # turn_idx (TRANSCRIPT_SCHEMA) in production but long in some test
+        # harnesses, and the compact generation is read back with an
+        # EXPLICIT schema — one canonical stored type keeps that read valid
+        # for every writer
         data_rows.groupBy("conv_id")
-        .agg(F.max("turn_idx").alias("hi_turn"))
+        .agg(F.max(F.col("turn_idx").cast("long")).alias("hi_turn"))
         .withColumn("kbucket", _kbucket(F.col("conv_id")))
         .coalesce(1)  # per-epoch deltas are tiny; one file keeps listings cheap
         .write.mode("overwrite")
@@ -232,7 +237,19 @@ def _keyidx_raw(
     compacts = _committed_subdirs(base, "compact")
     if compacts:
         _, cpath = compacts[-1]
-        cdf = spark.read.option("basePath", cpath).parquet(cpath)
+        # explicit schema: a legacy ALL-EMPTY compact generation (partitionBy
+        # on an empty DataFrame emits only _SUCCESS, no part files) must not
+        # fail schema inference and permanently brick the merge sink
+        # (ADVICE r4). New code never writes one (_keyidx_compact skips the
+        # fold when the merged index is empty), but old sinks may hold one.
+        # hi_turn is stored as BIGINT (pinned in _write_keyidx_delta /
+        # _keyidx_compact); legacy int32 generations widen under Spark 4's
+        # parquet type-widening read
+        cdf = (
+            spark.read.schema("conv_id string, hi_turn long, kbucket int")
+            .option("basePath", cpath)
+            .parquet(cpath)
+        )
         if buckets is not None:
             cdf = cdf.filter(F.col("kbucket").isin(buckets))
         parts.append(cdf.select("conv_id", "hi_turn", F.col("kbucket").cast("int")))
@@ -241,7 +258,11 @@ def _keyidx_raw(
         ddf = spark.read.parquet(*deltas)
         if buckets is not None:
             ddf = ddf.filter(F.col("kbucket").isin(buckets))
-        parts.append(ddf.select("conv_id", "hi_turn", "kbucket"))
+        # cast normalizes LEGACY int32 deltas (pre-pinning) to the bigint
+        # the union and the compact read expect
+        parts.append(
+            ddf.select("conv_id", F.col("hi_turn").cast("long").alias("hi_turn"), "kbucket")
+        )
     if not parts:
         return spark.createDataFrame(
             [], "conv_id string, hi_turn long, kbucket int"
@@ -270,6 +291,14 @@ def _keyidx_compact(spark: SparkSession, data_path: str) -> None:
         .agg(F.max("hi_turn").alias("hi_turn"))
         .withColumn("kbucket", _kbucket(F.col("conv_id")))
     )
+    if merged.isEmpty():
+        # an all-empty fold (e.g. a cold start where >8 epochs commit only
+        # status rows) must not write a compact generation: partitionBy on
+        # an empty DataFrame emits a dir with _SUCCESS but NO part files,
+        # which schema inference then chokes on forever (ADVICE r4). Leave
+        # the (empty, tiny) deltas in place; the first non-empty fold
+        # collects them.
+        return
     target = os.path.join(base, f"compact={gen}")
     merged.write.mode("overwrite").partitionBy("kbucket").parquet(target)
     # delete folded inputs only after the new generation committed

@@ -78,7 +78,42 @@ def _hot_candidates(spark, data_path: str, threshold: int) -> set[str]:
     return {r["conv_id"] for r in rows}
 
 
-def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> None:
+def _undrainable_removed_rows(spark, hot_raw: str, hot_ordered: str, hot: set) -> dict:
+    """After a drain, raw rows ABOVE a conversation's release watermark for
+    conversations absent from the NEW routed set are about to be lost
+    forever: the replay after a reset only regenerates rows for keys that
+    are still routed, and the retained main-stream checkpoint has already
+    marked all source files processed, so nothing else will ever reprocess
+    them (ADVICE r5). Returns {conv_id: n_lost_rows} — empty means the
+    reset is safe."""
+    from pyspark.sql import functions as F
+
+    from dataflow_ordered_processing_spark.streaming.hotkey import read_hot_ordered
+    from dataflow_ordered_processing_spark.streaming.sinks import read_raw
+
+    raw = read_raw(spark, hot_raw)
+    if raw is None:
+        return {}
+    released = read_hot_ordered(spark, hot_ordered)
+    hi = (
+        released.groupBy("conv_id").agg(F.max("turn_idx").alias("hi"))
+        if released is not None
+        else None
+    )
+    at_risk = raw if hi is None else (
+        raw.join(F.broadcast(hi), "conv_id", "left").filter(
+            F.col("hi").isNull() | (F.col("turn_idx") > F.col("hi"))
+        )
+    )
+    if hot:
+        at_risk = at_risk.filter(~F.col("conv_id").isin(sorted(hot)))
+    rows = at_risk.groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    return {r["conv_id"]: int(r["n"]) for r in rows}
+
+
+def _check_hot_marker(
+    spark, out_dir: str, ckpt_hot: str, hot_raw: str, hot: set, reset: bool
+) -> None:
     """Pin the ROUTED KEY SET to the side-channel checkpoint (the hot-key
     analog of sinks._check_engine_marker). The set may not silently change:
 
@@ -103,8 +138,36 @@ def _check_hot_marker(ckpt_hot: str, hot_raw: str, hot: set, reset: bool) -> Non
     if reset:
         shutil.rmtree(ckpt_hot, ignore_errors=True)
         if hot:
-            # safe only because the NEXT run's fresh side-channel checkpoint
-            # replays the whole source and regenerates the raw rows
+            # the replay after the reset only regenerates raw rows for keys
+            # in the NEW routed set — rows of REMOVED keys still sitting in
+            # hot_raw above their release watermark would be deleted with
+            # nowhere to come back from (ADVICE r5). Drain the channel
+            # first (releases every releasable row into hot_ordered), then
+            # refuse if undrainable rows of removed keys remain (a gap —
+            # e.g. a removed key whose turn 1 never arrived).
+            has_files = os.path.isdir(hot_raw) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(hot_raw)
+                for f in fs
+            )
+            if has_files:
+                from dataflow_ordered_processing_spark.streaming.hotkey import (
+                    order_hot_channel,
+                )
+
+                hot_ordered = os.path.join(out_dir, "hot_ordered")
+                order_hot_channel(spark, hot_raw, hot_ordered)
+                lost = _undrainable_removed_rows(spark, hot_raw, hot_ordered, hot)
+                if lost:
+                    raise ValueError(
+                        f"--reset-hot-channel would permanently lose "
+                        f"unreleased rows of un-routed conversations {lost} "
+                        "(rows above the release watermark, key absent from "
+                        "the new --hot-keys set — the post-reset replay only "
+                        "regenerates routed keys). Keep those keys routed "
+                        "until their gaps close, or export the rows from "
+                        f"{hot_raw!r} manually before resetting."
+                    )
             shutil.rmtree(hot_raw, ignore_errors=True)
         # hot empty (routing being disabled): PRESERVE hot_raw — no future
         # replay would regenerate it, and it may hold routed rows not yet
@@ -345,7 +408,8 @@ def main() -> int:
     # still a routed-set change the marker must refuse (or --reset-hot-
     # channel must clear) — review finding r4c
     _check_hot_marker(
-        args.checkpoint + "-hot", hot_raw, hot, args.reset_hot_channel
+        spark, args.out, args.checkpoint + "-hot", hot_raw, hot,
+        args.reset_hot_channel,
     )
     if hot:
         from pyspark.sql import functions as F

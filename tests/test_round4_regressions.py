@@ -640,7 +640,7 @@ def test_order_hot_channel_incremental_offsets(spark, tmp_path):
     assert (st3["rows_total"], st3["rows_new"]) == (9, 0)
 
 
-def test_hot_marker_pins_routed_set(tmp_path):
+def test_hot_marker_pins_routed_set(spark, tmp_path):
     """Second-pass review finding: growing the routed set strands the new
     key (side-channel checkpoint predates its history), shrinking strands
     the removed key (fresh keyed state waits for turn 1). Both must fail
@@ -652,27 +652,27 @@ def test_hot_marker_pins_routed_set(tmp_path):
 
     ckpt_hot = os.path.join(str(tmp_path), "ckpt-hot")
     hot_raw = os.path.join(str(tmp_path), "hot_raw")
-    _check_hot_marker(ckpt_hot, hot_raw, {"a", "b"}, reset=False)
-    _check_hot_marker(ckpt_hot, hot_raw, {"b", "a"}, reset=False)  # same set ok
+    _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"a", "b"}, reset=False)
+    _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"b", "a"}, reset=False)  # same set ok
     with pytest.raises(ValueError, match="reset-hot-channel"):
-        _check_hot_marker(ckpt_hot, hot_raw, {"a", "b", "c"}, reset=False)
+        _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"a", "b", "c"}, reset=False)
     with pytest.raises(ValueError, match="reset-hot-channel"):
-        _check_hot_marker(ckpt_hot, hot_raw, {"a"}, reset=False)
+        _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"a"}, reset=False)
     os.makedirs(hot_raw, exist_ok=True)
-    _check_hot_marker(ckpt_hot, hot_raw, {"a", "c"}, reset=True)  # reset allows
+    _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"a", "c"}, reset=True)  # reset allows
     assert not os.path.isdir(hot_raw)  # raw channel cleared for full replay
-    _check_hot_marker(ckpt_hot, hot_raw, {"a", "c"}, reset=False)  # new set pinned
+    _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"a", "c"}, reset=False)  # new set pinned
     # r4c: shrinking to EMPTY is still a routed-set change — must refuse
     with pytest.raises(ValueError, match="reset-hot-channel"):
-        _check_hot_marker(ckpt_hot, hot_raw, set(), reset=False)
+        _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, set(), reset=False)
     # r4d: disabling routing via reset must PRESERVE hot_raw (no future
     # replay regenerates it; it may hold unreleased routed rows)
     os.makedirs(hot_raw, exist_ok=True)
-    _check_hot_marker(ckpt_hot, hot_raw, set(), reset=True)  # reset un-routes
+    _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, set(), reset=True)  # reset un-routes
     assert not os.path.exists(os.path.join(ckpt_hot, "_hot_keys.json"))
     assert os.path.isdir(hot_raw)
     # with routing never enabled, an empty set is a clean no-op
-    _check_hot_marker(ckpt_hot, hot_raw, set(), reset=False)
+    _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, set(), reset=False)
     # r4e: RE-enabling routing over a preserved channel (committed epochs,
     # no marker) must refuse — a fresh side-channel checkpoint would replay
     # into epoch ids the idempotent raw sink skips, stranding the new key
@@ -680,8 +680,8 @@ def test_hot_marker_pins_routed_set(tmp_path):
     os.makedirs(ep, exist_ok=True)
     open(os.path.join(ep, "_SUCCESS"), "w").close()
     with pytest.raises(ValueError, match="preserved"):
-        _check_hot_marker(ckpt_hot, hot_raw, {"b"}, reset=False)
-    _check_hot_marker(ckpt_hot, hot_raw, {"b"}, reset=True)  # reset clears it
+        _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"b"}, reset=False)
+    _check_hot_marker(spark, str(tmp_path), ckpt_hot, hot_raw, {"b"}, reset=True)  # reset clears it
     assert not os.path.isdir(hot_raw)
 
 

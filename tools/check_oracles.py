@@ -85,8 +85,11 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # check the 50-entry driver registry AND the pruned duplicate-path
+    # forms (extra_queries) — local coverage stays at the full query set
+    # even though the driver gate caps at 50
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
