@@ -757,7 +757,7 @@ def _q_lsh_topk(spark, sf_dir):
     queries = embs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    return similarity.lsh_topk(embs, queries, k=5, n_planes=4)
+    return similarity.lsh_topk(embs, queries, k=5, n_planes=4, n_tables=4)
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -1560,17 +1560,27 @@ WHERE {cos} >= 0.35
 """
 
 
-def _lsh_topk_oracle() -> str:
+def _lsh_topk_oracle(n_planes: int = 4, n_tables: int = 4) -> str:
     """The LSH hyperplanes are deterministic (seeded), so they embed as SQL
-    literals — making even the approximate-NN path exactly reproducible."""
+    literals — making even the approximate-NN path exactly reproducible.
+    Models the OR-amplified plan (r5): per-table bucket membership UNIONed
+    across `n_tables` independent plane sets (seed 42+t, exactly
+    similarity.lsh_bucket_tables), candidate pairs deduped by
+    (query_id, vec_id) after scoring — same as the Spark plan."""
     from dataflow_ordered_processing_spark.functions.similarity import hyperplanes
 
-    planes = hyperplanes(64, 4, 42)
-    bits = " + ".join(
-        "(CASE WHEN "
-        + _duck_fold_dot("embedding", f"CAST({p} AS DOUBLE[])")
-        + f" >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
+    def bits(planes):
+        return " + ".join(
+            "(CASE WHEN "
+            + _duck_fold_dot("embedding", f"CAST({p} AS DOUBLE[])")
+            + f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{bits(hyperplanes(64, n_planes, 42 + t))} AS bucket FROM embeddings"
+        for t in range(n_tables)
     )
     cos = (
         f"round({_duck_fold_dot('e.embedding', 'q.qv')} / "
@@ -1578,10 +1588,12 @@ def _lsh_topk_oracle() -> str:
         f"sqrt({_duck_fold_dot('q.qv', 'q.qv')})), 6)"
     )
     return f"""
-WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 3),
-s AS (SELECT q.query_id, e.vec_id, {cos} AS cos_sim
-      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+WITH b AS ({tables}),
+q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM b WHERE vec_id < 3),
+s0 AS (SELECT q.query_id, e.vec_id, {cos} AS cos_sim
+       FROM b e JOIN q ON e.tbl = q.tbl AND e.bucket = q.bucket
+                      AND e.vec_id <> q.query_id),
+s AS (SELECT query_id, vec_id, max(cos_sim) AS cos_sim FROM s0 GROUP BY 1, 2),
 r AS (SELECT query_id, vec_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
                  AS rank

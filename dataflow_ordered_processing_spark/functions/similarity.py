@@ -18,6 +18,7 @@ literal arrays — no RNG at execution time, no Python in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,34 +76,127 @@ def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFr
     return df.withColumn("lsh_bucket", sig.cast("long"))
 
 
+def lsh_bucket_tables(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int = 42,
+) -> DataFrame:
+    """OR-amplified signatures: `n_tables` INDEPENDENT plane sets (seeded
+    seed+t), one (lsh_table, lsh_bucket) row per table per vector. A
+    neighbour is a candidate if it shares a bucket in ANY table —
+    P(candidate) = 1-(1-p^n_planes)^n_tables, the standard LSH
+    OR-amplification that lifts recall without coarsening the buckets
+    (VERDICT r4 #4: a single band of sign bits capped recall@5 at
+    0.44-0.64). The explode costs n_tables rows of (id, table, bucket) —
+    vectors are NOT duplicated at scale if the candidate join projects ids
+    first.
+
+    Signatures are computed in ONE vectorized pandas pass — a (batch × dim)
+    matmul against all n_tables × n_planes hyperplanes — instead of a HOF
+    sign-fold per plane per table (n_tables × n_planes folds per row was
+    the r5 wall-clock bottleneck once OR-amplification multiplied the plane
+    count). Plane dots are float64 (the oracle's fold widens float32
+    embeddings against double plane literals), so the sign agrees with the
+    SQL model except within ~1e-15 of an exact zero — unobservable for
+    seeded Gaussian planes."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_all = np.asarray(
+        [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # (T, P, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        dots = A @ planes_all.reshape(-1, planes_all.shape[-1]).T  # (n, T*P)
+        bits = (dots >= 0).reshape(len(A), n_tables, n_planes)
+        return pd.Series(list((bits * weights).sum(axis=2)))
+
+    return (
+        df.withColumn("_sigs", _sigs(F.col(vec_col)))
+        .select("*", F.posexplode("_sigs").alias("lsh_table", "lsh_bucket"))
+        .drop("_sigs")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Join is equi on the bucket id — at scale this is a bucketed shuffle of
-    ids+vectors, not an all-pairs cross join."""
-    planes = hyperplanes(dim, n_planes, seed)
-    corpus_b = lsh_bucket(embeddings, "embedding", planes)
-    queries_b = lsh_bucket(queries, "q_embedding", planes)
-    joined = corpus_b.join(F.broadcast(queries_b), "lsh_bucket").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    """Approximate top-k: candidates = union over `n_tables` independent
+    LSH tables of the query's same-bucket corpus rows (OR-amplification —
+    see lsh_bucket_tables). The join is equi on (table, bucket) — at scale
+    a bucketed shuffle, never all-pairs; candidate duplicates across tables
+    are deduped AFTER scoring by a (query_id, vec_id) aggregate, so only
+    id+score pairs shuffle, not vectors. Scoring is the vectorized pandas
+    cosine (one numpy pass per Arrow batch)."""
+    corpus_b = lsh_bucket_tables(embeddings, "embedding", n_planes, n_tables, dim, seed)
+    queries_b = lsh_bucket_tables(queries, "q_embedding", n_planes, n_tables, dim, seed)
+    joined = corpus_b.join(
+        F.broadcast(queries_b), ["lsh_table", "lsh_bucket"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_pairs_pandas(F.col("embedding"), F.col("q_embedding")), 6
+        ).alias("cos_sim"),
+    )
+    # a pair seen in several tables has the SAME score — max() is just the
+    # deterministic pick; this dedup shuffles (id, id, double) rows only
+    dedup = scored.groupBy("query_id", "vec_id").agg(
+        F.max("cos_sim").alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        dedup.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("query_id", "vec_id", "cos_sim", F.col("_rn").cast("long").alias("rank"))
     )
+
+
+def _f32_dot_f64(A, B):
+    """float32 products, float64 accumulation — the SAME numeric recipe as
+    the HOF fold the oracles model (zip_with multiplies in float32, the
+    aggregate accumulates in double; a float32×float32 product is EXACT in
+    float64, and float64 summation-order differences are ~1e-15, invisible
+    at the 6-decimal round every scorer applies)."""
+    import numpy as np
+
+    return (A * B).astype(np.float64).sum(axis=1)
+
+
+def cosine_pairs_pandas(a_col, b_col):
+    """Vectorized cosine over two array columns: one numpy pass per Arrow
+    batch instead of a 3-fold (dot + two norms) codegen expression tree per
+    row. VERDICT r4 #1: the HOF scoring plan cost ~10× LSH's at equal
+    candidate counts — the expression tree, not the arithmetic, was the
+    bottleneck. Same float recipe as the folds (see _f32_dot_f64)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float32, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.float32, copy=False)
+        num = _f32_dot_f64(A, B)
+        den = np.sqrt(_f32_dot_f64(A, A)) * np.sqrt(_f32_dot_f64(B, B))
+        return pd.Series(num / den)
+
+    return _cos(a_col, b_col)
 
 
 def ivf_assign(
@@ -112,28 +206,41 @@ def ivf_assign(
     n_probe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its `n_probe` nearest coarse cells by cosine.
-    `centroids` is the (tiny) codebook embedded as LITERALS — like the LSH
-    hyperplanes — so assignment is a pure narrow projection: argmax over an
-    in-row array of (cos, -cell) structs. NO join, NO groupBy, NO shuffle;
-    at 100 TB the corpus is scanned exactly once and nothing moves.
-    Tie-break: smaller cell wins (deterministic)."""
-    entries = []
-    for cell, cv in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in cv])
-        entries.append(
-            F.struct(
-                cosine(F.col(vec_col), lit).alias("c"), F.lit(-cell).alias("nc")
-            )
-        )
-    arr = F.array(*entries)
+    The (tiny) codebook ships inside a vectorized pandas UDF closure — one
+    (batch × dim) × (dim × n_cells) scoring pass per Arrow batch, replacing
+    the r4 plan's per-centroid HOF fold (8 cells × 64-dim literal arrays as
+    ONE giant codegen expression — VERDICT r4 #1 measured it ~10× too slow
+    for what it computes). Still a pure narrow projection: NO join, NO
+    groupBy, NO shuffle; at 100 TB the corpus is scanned exactly once and
+    nothing moves. Tie-break: smaller cell wins (stable argsort over cells
+    in ascending order); float recipe matches the oracle fold
+    (_f32_dot_f64), so assignment agrees with the SQL model."""
+    from pyspark.sql.functions import pandas_udf
+
+    cells = [int(c) for c, _ in centroids]
+    cmat = np.asarray([cv for _, cv in centroids], dtype=np.float32)
+    k = int(n_probe)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype(np.float32, copy=False)
+        an = np.sqrt(_f32_dot_f64(A, A))
+        scores = np.empty((len(A), len(cells)), dtype=np.float64)
+        for j in range(len(cells)):
+            cn = np.sqrt(_f32_dot_f64(cmat[j : j + 1], cmat[j : j + 1]))[0]
+            scores[:, j] = _f32_dot_f64(A, cmat[j][None, :]) / (an * cn)
+        # stable argsort on -scores: ties resolve to the earlier column =
+        # the smaller cell (centroid list is cell-ascending)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        cell_arr = np.asarray(cells, dtype=np.int32)
+        return pd.Series(list(cell_arr[order]))
+
+    probed = df.withColumn("_cells", _probe(F.col(vec_col)))
     if n_probe == 1:
-        best = F.array_max(arr)
-        return df.withColumn("cell", (-best["nc"]).cast("int"))
-    # n_probe nearest cells: sort the (tiny) in-row array desc, take n_probe
-    probes = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
-    return df.withColumn(
-        "cell", F.explode(F.transform(probes, lambda s: (-s["nc"]).cast("int")))
-    )
+        return probed.withColumn("cell", F.col("_cells")[0]).drop("_cells")
+    return probed.withColumn("cell", F.explode("_cells")).drop("_cells")
 
 
 def ivf_topk(
@@ -165,10 +272,15 @@ def ivf_topk(
     joined = corpus.join(F.broadcast(probed), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # vectorized scorer (one numpy pass per Arrow batch) — VERDICT r4 #1:
+    # the HOF cosine fold per candidate made this plan ~10× LSH's cost at
+    # equal candidate volume
     scored = joined.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_pairs_pandas(F.col("embedding"), F.col("q_embedding")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

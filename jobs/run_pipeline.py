@@ -57,16 +57,16 @@ def _hot_candidates(spark, data_path: str, threshold: int) -> set[str]:
     any committed epoch. ONE definition for both the startup detector and
     the end-of-run candidates report (review finding r4: keep them
     identical). Guards the crash window where the sink dir exists but no
-    epoch is committed yet (epoch_dirs == []) — read_sink on zero paths
+    epoch is committed yet (sink_dirs == []) — read_sink on zero paths
     would raise."""
     from pyspark.sql import functions as F
 
     from dataflow_ordered_processing_spark.streaming.sinks import (
-        epoch_dirs,
         read_sink,
+        sink_dirs,
     )
 
-    if not epoch_dirs(data_path):
+    if not sink_dirs(data_path):
         return set()
     status = read_sink(spark, data_path, table="status")
     rows = (
@@ -328,6 +328,19 @@ def main() -> int:
         "reference's keyed DoFn state)",
     )
     ap.add_argument(
+        "--auto-hot-keys",
+        action="store_true",
+        help="with --hot-key-threshold: when startup detection changes the "
+        "routed set (a conversation crossed the threshold in a previous "
+        "run), perform the documented reset flow AUTOMATICALLY instead of "
+        "failing on the routed-set marker — the side-channel checkpoint "
+        "and hot_raw are cleared (drain-guarded: unreleased rows of "
+        "un-routed keys still refuse) and this run replays the source "
+        "through the side channel. Detection stays run-to-run (keyed "
+        "state cannot migrate mid-stream); this flag just removes the "
+        "manual --reset-hot-channel step between runs",
+    )
+    ap.add_argument(
         "--reset-hot-channel",
         action="store_true",
         help="clear the hot-key side-channel checkpoint and hot_raw before "
@@ -407,9 +420,27 @@ def main() -> int:
     # the guard runs even with an EMPTY hot set: un-routing everything is
     # still a routed-set change the marker must refuse (or --reset-hot-
     # channel must clear) — review finding r4c
+    reset = args.reset_hot_channel
+    if args.auto_hot_keys:
+        if not args.hot_key_threshold:
+            ap.error("--auto-hot-keys requires --hot-key-threshold")
+        marker = os.path.join(args.checkpoint + "-hot", "_hot_keys.json")
+        prior: set = set()
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prior = set(json.load(f))
+        if hot != prior:
+            # the documented reset flow, performed automatically; the
+            # drain guard inside _check_hot_marker still refuses when an
+            # un-routed key's unreleased rows would be lost
+            reset = True
+            print(json.dumps({
+                "auto_hot_keys_reset": True,
+                "added": sorted(hot - prior),
+                "removed": sorted(prior - hot),
+            }))
     _check_hot_marker(
-        spark, args.out, args.checkpoint + "-hot", hot_raw, hot,
-        args.reset_hot_channel,
+        spark, args.out, args.checkpoint + "-hot", hot_raw, hot, reset
     )
     if hot:
         from pyspark.sql import functions as F

@@ -142,3 +142,181 @@ def test_reset_refuses_to_lose_unreleased_removed_keys(spark, tmp_path):
     # keeping the gapped conv routed makes the reset safe
     _check_hot_marker(spark, out, ckpt_hot, hot_raw, {"gap", "ok"}, reset=True)
     assert not os.path.isdir(hot_raw)
+
+
+# --------------------------------------------------------------- compaction
+def test_epoch_compaction_bounds_dirs_and_preserves_rows(spark, tmp_path):
+    """30 epochs with fanout 4: visible dir count stays O(fanout × levels)
+    instead of 30, and read_sink returns exactly the same rows as the
+    uncompacted layout would."""
+    from dataflow_ordered_processing_spark.streaming import sinks as sk
+
+    path = os.path.join(str(tmp_path), "data")
+    cfg = sk.SinkConfig(data_path=path, validate=False, compact_epochs_after=4)
+    wb = sk.split_sink(cfg)
+    for e in range(30):
+        wb(
+            spark.createDataFrame(
+                [(f"c{e}", 1, "data"), (f"c{e}", 2, "data")],
+                "conv_id string, turn_idx long, row_type string",
+            ),
+            e,
+        )
+    dirs = sk.sink_dirs(path)
+    assert len(dirs) <= 4 * 3 + 4  # ≤ fanout dirs per touched level
+    assert any("compact=" in d for d in dirs)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in sk.read_sink(spark, path, table="unified").collect()
+    )
+    assert got == sorted((f"c{e}", t) for e in range(30) for t in (1, 2))
+
+
+def test_epoch_compaction_crash_window_no_double_read(spark, tmp_path):
+    """The fold-committed-but-inputs-not-deleted window: a committed epoch
+    dir whose range is covered by a committed compact generation must be
+    invisible to readers (no double count) and swept by the next compaction
+    call. Also covers the replay that re-creates a folded epoch."""
+    from dataflow_ordered_processing_spark.streaming import sinks as sk
+
+    path = os.path.join(str(tmp_path), "data")
+    cfg = sk.SinkConfig(data_path=path, validate=False, compact_epochs_after=4)
+    wb = sk.split_sink(cfg)
+    for e in range(6):  # > fanout → first fold happened
+        wb(
+            spark.createDataFrame(
+                [(f"c{e}", 1, "data")], "conv_id string, turn_idx long, row_type string"
+            ),
+            e,
+        )
+    assert any("compact=" in d for d in sk.sink_dirs(path))
+    n_before = sk.read_sink(spark, path, table="unified").count()
+    # replay re-creates a folded epoch (its _SUCCESS died with the fold)
+    sk._write_idempotent(
+        spark.createDataFrame(
+            [("c0", 1, "data")], "conv_id string, turn_idx long, row_type string"
+        ),
+        path,
+        0,
+    )
+    assert os.path.isdir(os.path.join(path, "epoch=0"))
+    assert sk.read_sink(spark, path, table="unified").count() == n_before
+    # the sweep removes the superseded re-creation
+    sk.compact_data_epochs(spark, path, fanout=4)
+    assert not os.path.isdir(os.path.join(path, "epoch=0"))
+    assert sk.read_sink(spark, path, table="unified").count() == n_before
+
+
+def test_merge_on_key_exact_across_compaction(spark, tmp_path):
+    """merge_on_key stays hash-exact when data epochs fold underneath it,
+    including the legacy-bootstrap path where a compacted range must yield
+    its key-index delta from the compact dir."""
+    from dataflow_ordered_processing_spark.streaming import sinks as sk
+
+    path = os.path.join(str(tmp_path), "data")
+    # phase 1: merge OFF, small fanout → ranges fold with no index deltas
+    wb_off = sk.split_sink(
+        sk.SinkConfig(data_path=path, validate=False, compact_epochs_after=3)
+    )
+    convs = ["a", "b"]
+    for e in range(8):
+        wb_off(
+            spark.createDataFrame(
+                [(c, e + 1, "data") for c in convs],
+                "conv_id string, turn_idx long, row_type string",
+            ),
+            e,
+        )
+    # phase 2: merge ON — bootstrap must read COMPACTED ranges for the index
+    wb_on = sk.split_sink(
+        sk.SinkConfig(
+            data_path=path, validate=False, merge_on_key=True, compact_epochs_after=3
+        )
+    )
+    # full replay of old turns at a new epoch id + one fresh turn
+    wb_on(
+        spark.createDataFrame(
+            [(c, t, "data") for c in convs for t in (1, 2, 3, 9)],
+            "conv_id string, turn_idx long, row_type string",
+        ),
+        8,
+    )
+    rows = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in sk.read_sink(spark, path, table="unified").collect()
+    )
+    assert rows == sorted((c, t) for c in convs for t in range(1, 10))
+
+
+# ------------------------------------------------------------ auto hot keys
+def test_auto_hot_keys_routes_detected_key_across_restarts(spark, tmp_path):
+    """--auto-hot-keys: run 1 (threshold only) detects a conversation that
+    crossed the threshold; run 2 with the flag performs the documented
+    reset flow automatically and routes it; the combined read stays exact.
+    A third run with an unchanged set must NOT reset (no-op fingerprint:
+    zero new hot rows)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from tests.test_round4_regressions import _gen_input_subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(str(tmp_path), "src")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    n_input = _gen_input_subprocess(repo, src, 2000, 10)
+    con = duckdb.connect()
+    (hot_conv, hot_n), (_, second_n) = con.execute(
+        f"SELECT conv_id, count(*) FROM read_parquet('{src}/*.parquet') "
+        "GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 2"
+    ).fetchall()
+    assert hot_n > second_n  # threshold below isolates exactly one conv
+    base = [
+        sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+        "--source", src, "--out", out, "--checkpoint", ckpt,
+        "--available-now", "--master", "local[4]",
+        "--shuffle-partitions", "4", "--no-warmup",
+        "--hot-key-threshold", str(hot_n),
+    ]
+
+    def run(extra):
+        r = subprocess.run(base + extra, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        return [_json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+
+    # run 1: nothing routed yet; detection reports the crossing conv
+    lines1 = run([])
+    assert lines1[-1]["hot_key_candidates"] == [hot_conv]
+    assert not any("hot_keys_routed" in l for l in lines1)
+
+    # run 2: --auto-hot-keys picks it up, auto-resets, routes it
+    lines2 = run(["--auto-hot-keys"])
+    assert any(l.get("auto_hot_keys_reset") for l in lines2)
+    routed = next(l for l in lines2 if "hot_keys_routed" in l)
+    assert routed["hot_keys_routed"] == [hot_conv]
+    assert lines2[-1]["hot_rows_ordered"] == hot_n
+
+    # run 3: set unchanged → NO reset, side channel is a no-op
+    lines3 = run(["--auto-hot-keys"])
+    assert not any(l.get("auto_hot_keys_reset") for l in lines3)
+    assert lines3[-1]["hot_rows_new"] == 0
+
+    # combined read stays exact: every (conv, turn) exactly once, the routed
+    # conversation fully ordered from the side channel
+    from dataflow_ordered_processing_spark.streaming.hotkey import (
+        read_pipeline_output,
+    )
+
+    combined = read_pipeline_output(spark, out)
+    assert combined.count() == n_input
+    assert combined.select("conv_id", "turn_idx").distinct().count() == n_input
+    hot_rows = (
+        combined.filter(f"conv_id = '{hot_conv}'")
+        .orderBy("emit_seq")
+        .select("turn_idx")
+        .collect()
+    )
+    assert [r["turn_idx"] for r in hot_rows] == list(range(1, hot_n + 1))

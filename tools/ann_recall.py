@@ -108,31 +108,36 @@ def main() -> int:
     results = {"brute_force": {"recall_at_k": 1.0, "wall_s": brute_wall,
                                "mean_candidates": args.n - 1}}
 
-    # ---- LSH sweep: n_planes one step down/up from the default 6 ----
-    for n_planes in (4, 6, 8):
+    # ---- LSH sweep: OR-amplified (n_planes, n_tables) around the default
+    # 8p×8t, plus the old single-table 6p point for continuity with r4 ----
+    for n_planes, n_tables in ((6, 1), (8, 4), (8, 8), (10, 8), (8, 12)):
         t0 = time.time()
         got = topk_sets(
-            S.lsh_topk(emb, queries, k=args.k, n_planes=n_planes, dim=args.dim)
+            S.lsh_topk(emb, queries, k=args.k, n_planes=n_planes, dim=args.dim,
+                       n_tables=n_tables)
         )
         wall = round(time.time() - t0, 2)
-        # candidate count = same-bucket corpus rows per query
-        planes = S.hyperplanes(args.dim, n_planes)
-        cb = S.lsh_bucket(emb, "embedding", planes)
-        qb = S.lsh_bucket(queries, "q_embedding", planes)
-        # mean over ALL queries (total/args.queries): a query whose bucket
-        # is empty must count as 0 candidates, not drop from the average
+        # candidate count = DISTINCT (query, vec) same-bucket pairs over the
+        # union of tables — the per-query scoring work the OR buys recall
+        # with. Mean over ALL queries (total/args.queries): a query with no
+        # bucket hits must count as 0 candidates, not drop from the average.
+        cb = S.lsh_bucket_tables(emb, "embedding", n_planes, n_tables, args.dim)
+        qb = S.lsh_bucket_tables(queries, "q_embedding", n_planes, n_tables, args.dim)
         cand = (
-            cb.join(F.broadcast(qb), "lsh_bucket")
+            cb.join(F.broadcast(qb), ["lsh_table", "lsh_bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .distinct()
             .count()
         ) / args.queries
-        results[f"lsh_planes_{n_planes}"] = {
+        name = f"lsh_{n_planes}p_{n_tables}t"
+        results[name] = {
             "recall_at_k": recall_at_k(truth, got, args.k),
             "wall_s": wall,
             "mean_candidates": round(float(cand or 0), 1),
+            "candidate_pct": round(100.0 * cand / args.n, 2),
         }
-        print(json.dumps({"variant": f"lsh_planes_{n_planes}",
-                          **results[f"lsh_planes_{n_planes}"]}))
+        print(json.dumps({"variant": name, **results[name]}))
 
     # ---- IVF sweep: n_probe one step down/up from the default 2 ----
     for n_probe in (1, 2, 4):
