@@ -213,24 +213,34 @@ def ivf_assign(
     for what it computes). Still a pure narrow projection: NO join, NO
     groupBy, NO shuffle; at 100 TB the corpus is scanned exactly once and
     nothing moves. Tie-break: smaller cell wins (stable argsort over cells
-    in ascending order); float recipe matches the oracle fold
-    (_f32_dot_f64), so assignment agrees with the SQL model."""
+    in ascending order).
+
+    Numeric recipe mirrors the SQL model EXACTLY per term (review r5 #2 —
+    the oracle casts the centroid codebook to DOUBLE[]): vector×centroid
+    products and centroid self-norms are float64 (float32×double widens the
+    float side, so the products are exact doubles); the vector's self-norm
+    keeps float32 products / float64 accumulation (float×float fold). Only
+    summation ORDER differs (numpy pairwise vs sequential, ~1e-15) — an
+    assignment flip needs two cells within ~1e-15 cosine of each other."""
     from pyspark.sql.functions import pandas_udf
 
     cells = [int(c) for c, _ in centroids]
-    cmat = np.asarray([cv for _, cv in centroids], dtype=np.float32)
+    # float64 of the float32 centroid values — identical to the oracle's
+    # CAST(cv AS DOUBLE[]) (exact widening)
+    cmat = np.asarray(
+        [cv for _, cv in centroids], dtype=np.float32
+    ).astype(np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))  # double² products, like SQL
     k = int(n_probe)
 
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        A = np.stack(v.to_numpy()).astype(np.float32, copy=False)
-        an = np.sqrt(_f32_dot_f64(A, A))
-        scores = np.empty((len(A), len(cells)), dtype=np.float64)
-        for j in range(len(cells)):
-            cn = np.sqrt(_f32_dot_f64(cmat[j : j + 1], cmat[j : j + 1]))[0]
-            scores[:, j] = _f32_dot_f64(A, cmat[j][None, :]) / (an * cn)
+        A32 = np.stack(v.to_numpy()).astype(np.float32, copy=False)
+        an = np.sqrt(_f32_dot_f64(A32, A32))  # float² products, like SQL
+        # cross products float32→float64 exact, one matmul for all cells
+        scores = (A32.astype(np.float64) @ cmat.T) / (an[:, None] * cnorm[None, :])
         # stable argsort on -scores: ties resolve to the earlier column =
         # the smaller cell (centroid list is cell-ascending)
         order = np.argsort(-scores, axis=1, kind="stable")[:, :k]

@@ -67,6 +67,14 @@ class SinkConfig:
     # fold: each row is rewritten O(log_fanout(#epochs)) times, visible dir
     # count stays O(fanout × levels)). None disables compaction.
     compact_epochs_after: int | None = 16
+    # Deferred deletion window for folded inputs (review r5 #4): an
+    # external reader lists sink_dirs() and then lazily scans — deleting a
+    # just-superseded dir immediately could fail a read planned moments
+    # earlier. Superseded dirs are swept only once their covering fold is
+    # at least this old; readers finishing within the window always see
+    # the snapshot they listed. Physical lingering is bounded by
+    # grace / trigger-interval extra dirs.
+    compact_grace_seconds: float = 300.0
 
 
 def row_violation(cfg: SinkConfig) -> F.Column:
@@ -408,6 +416,27 @@ def split_sink(cfg: SinkConfig):
                     ).append()
             else:
                 _write_idempotent(unified, cfg.data_path, epoch_id)
+        except Exception:
+            # outer fallback: a writer-level failure (not attributable to
+            # specific rows) quarantines the remaining epoch under its own
+            # namespace so it can never collide with a row-level DLQ write
+            # for the same epoch
+            if cfg.dlq_path:
+                _write_idempotent(
+                    unified.withColumn("dlq_error", F.lit("writer_error")),
+                    os.path.join(cfg.dlq_path, "writer_error"),
+                    epoch_id,
+                )
+            raise
+        # Post-commit maintenance runs OUTSIDE the quarantine scope (review
+        # r5 #3: a maintenance failure after the epoch committed must fail
+        # the batch — the stream retries and both steps are idempotent —
+        # but must NOT copy already-committed rows into the DLQ, where a
+        # replay would double-ingest them). Still inside the persist scope:
+        # the delta write consumes `unified`, whose lineage must not recompute
+        # the stateful operator.
+        try:
+            if not cfg.iceberg_table:
                 if merged:
                     # index delta AFTER the data commit: a crash in between
                     # is healed by _keyidx_catchup on the replay
@@ -425,20 +454,11 @@ def split_sink(cfg: SinkConfig):
                     # (The DLQ keeps plain epoch dirs — rare, small, and an
                     # audit trail where per-batch provenance is the point.)
                     compact_data_epochs(
-                        batch_df.sparkSession, cfg.data_path, cfg.compact_epochs_after
+                        batch_df.sparkSession,
+                        cfg.data_path,
+                        cfg.compact_epochs_after,
+                        grace_seconds=cfg.compact_grace_seconds,
                     )
-        except Exception:
-            # outer fallback: a writer-level failure (not attributable to
-            # specific rows) quarantines the remaining epoch under its own
-            # namespace so it can never collide with a row-level DLQ write
-            # for the same epoch
-            if cfg.dlq_path:
-                _write_idempotent(
-                    unified.withColumn("dlq_error", F.lit("writer_error")),
-                    os.path.join(cfg.dlq_path, "writer_error"),
-                    epoch_id,
-                )
-            raise
         finally:
             if persisted is not None:
                 persisted.unpersist()
@@ -510,22 +530,36 @@ def sink_dirs(base: str) -> list[str]:
 
 
 def compact_data_epochs(
-    spark: SparkSession, base: str, fanout: int = 16
+    spark: SparkSession, base: str, fanout: int = 16, grace_seconds: float = 300.0
 ) -> int:
     """Fold data dirs level by level (see layout note above); returns the
-    number of folds performed. Also sweeps superseded dirs left by a crash
-    between a fold's commit and its input deletion. Safe to run anytime —
-    offline or from the sink's own foreachBatch."""
+    number of folds performed. Safe to run anytime — offline or from the
+    sink's own foreachBatch.
+
+    Superseded inputs are NOT deleted at fold time: an external reader may
+    have listed sink_dirs() just before the fold committed and not yet run
+    its scan (review r5 #4). They are swept on LATER calls, once the
+    covering fold's commit is at least `grace_seconds` old — a reader that
+    finishes within the window always finds the dirs it listed, and the
+    visibility rule keeps new listings from double-reading in the interim.
+    grace_seconds=0 restores immediate deletion (offline/maintenance use)."""
     import shutil
+    import time
 
     folds = 0
     while True:
         entries = _sink_entries(base)
-        # sweep superseded dirs (committed fold already covers them)
         visible = []
         for e in entries:
-            if any(o[0] > e[0] and o[1] <= e[1] and e[2] <= o[2] for o in entries):
-                shutil.rmtree(e[3], ignore_errors=True)
+            covers = [
+                o for o in entries if o[0] > e[0] and o[1] <= e[1] and e[2] <= o[2]
+            ]
+            if covers:
+                committed_at = max(
+                    os.path.getmtime(os.path.join(o[3], "_SUCCESS")) for o in covers
+                )
+                if time.time() - committed_at >= grace_seconds:
+                    shutil.rmtree(e[3], ignore_errors=True)
             else:
                 visible.append(e)
         by_level: dict[int, list[tuple[int, int, int, str]]] = {}
@@ -542,10 +576,6 @@ def compact_data_epochs(
         spark.read.parquet(*[e[3] for e in batch]).write.mode("overwrite").parquet(
             target
         )
-        # inputs become superseded the instant the fold commits; delete now,
-        # or (after a crash here) the sweep above catches them next call
-        for e in batch:
-            shutil.rmtree(e[3], ignore_errors=True)
         folds += 1
 
 

@@ -136,7 +136,6 @@ def _check_hot_marker(
     import shutil
 
     if reset:
-        shutil.rmtree(ckpt_hot, ignore_errors=True)
         if hot:
             # the replay after the reset only regenerates raw rows for keys
             # in the NEW routed set — rows of REMOVED keys still sitting in
@@ -144,7 +143,11 @@ def _check_hot_marker(
             # nowhere to come back from (ADVICE r5). Drain the channel
             # first (releases every releasable row into hot_ordered), then
             # refuse if undrainable rows of removed keys remain (a gap —
-            # e.g. a removed key whose turn 1 never arrived).
+            # e.g. a removed key whose turn 1 never arrived). The guard
+            # runs BEFORE anything is deleted (review r5 #1: deleting the
+            # side checkpoint/marker first would make a refused reset
+            # unrecoverable — the advised 'keep the key routed' retry needs
+            # both intact).
             has_files = os.path.isdir(hot_raw) and any(
                 f.endswith(".parquet")
                 for _, _, fs in os.walk(hot_raw)
@@ -166,13 +169,19 @@ def _check_hot_marker(
                         "the new --hot-keys set — the post-reset replay only "
                         "regenerates routed keys). Keep those keys routed "
                         "until their gaps close, or export the rows from "
-                        f"{hot_raw!r} manually before resetting."
+                        f"{hot_raw!r} manually before resetting. Nothing "
+                        "was deleted; the side-channel checkpoint and "
+                        "routed-set marker are intact."
                     )
+            shutil.rmtree(ckpt_hot, ignore_errors=True)
             shutil.rmtree(hot_raw, ignore_errors=True)
-        # hot empty (routing being disabled): PRESERVE hot_raw — no future
-        # replay would regenerate it, and it may hold routed rows not yet
-        # released to hot_ordered (r4d review: deleting here silently lost
-        # them). Drain offline with tools/drain_hot_channel.py.
+        else:
+            # hot empty (routing being disabled): PRESERVE hot_raw — no
+            # future replay would regenerate it, and it may hold routed
+            # rows not yet released to hot_ordered (r4d review: deleting
+            # here silently lost them). Drain offline with
+            # tools/drain_hot_channel.py.
+            shutil.rmtree(ckpt_hot, ignore_errors=True)
     from dataflow_ordered_processing_spark.streaming.sinks import epoch_dirs
 
     marker = os.path.join(ckpt_hot, "_hot_keys.json")

@@ -486,10 +486,22 @@ def test_hot_key_routing_pipeline(tmp_path):
         f"WHERE conv_id = '{hot_conv}' ORDER BY emit_seq"
     ).fetchall()
     assert [t[0] for t in got] == list(range(1, hot_n + 1))
-    # no hot rows leaked into the keyed sink
+    # no hot rows leaked into the keyed sink — enumerate the committed dirs
+    # through the compaction-aware view (review r5 #5: a bare epoch=* glob
+    # reads nothing from compact=L-lo-hi generations and would pass
+    # vacuously once folds begin)
+    from dataflow_ordered_processing_spark.streaming.sinks import sink_dirs
+
+    data_files = [
+        os.path.join(d, f)
+        for d in sink_dirs(os.path.join(out, "data"))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    ]
     n_hot_in_data = con.execute(
-        f"SELECT count(*) FROM read_parquet('{out}/data/epoch=*/*.parquet') "
-        f"WHERE row_type = 'data' AND conv_id = '{hot_conv}'"
+        "SELECT count(*) FROM read_parquet($files) "
+        "WHERE row_type = 'data' AND conv_id = $conv",
+        {"files": data_files, "conv": hot_conv},
     ).fetchone()[0]
     assert n_hot_in_data == 0
     # detection report: with threshold 1 every remaining conv qualifies and

@@ -180,7 +180,12 @@ def test_epoch_compaction_crash_window_no_double_read(spark, tmp_path):
     from dataflow_ordered_processing_spark.streaming import sinks as sk
 
     path = os.path.join(str(tmp_path), "data")
-    cfg = sk.SinkConfig(data_path=path, validate=False, compact_epochs_after=4)
+    # grace 0: superseded dirs are swept immediately, so the replay
+    # re-creation below exercises a REAL post-deletion window
+    cfg = sk.SinkConfig(
+        data_path=path, validate=False, compact_epochs_after=4,
+        compact_grace_seconds=0,
+    )
     wb = sk.split_sink(cfg)
     for e in range(6):  # > fanout → first fold happened
         wb(
@@ -202,7 +207,7 @@ def test_epoch_compaction_crash_window_no_double_read(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "epoch=0"))
     assert sk.read_sink(spark, path, table="unified").count() == n_before
     # the sweep removes the superseded re-creation
-    sk.compact_data_epochs(spark, path, fanout=4)
+    sk.compact_data_epochs(spark, path, fanout=4, grace_seconds=0)
     assert not os.path.isdir(os.path.join(path, "epoch=0"))
     assert sk.read_sink(spark, path, table="unified").count() == n_before
 
@@ -320,3 +325,70 @@ def test_auto_hot_keys_routes_detected_key_across_restarts(spark, tmp_path):
         .collect()
     )
     assert [r["turn_idx"] for r in hot_rows] == list(range(1, hot_n + 1))
+
+
+def test_compaction_grace_defers_input_deletion(spark, tmp_path):
+    """Review r5 #4: folded inputs must survive the grace window (an
+    external reader may have listed them just before the fold committed)
+    while staying INVISIBLE to new listings; grace 0 sweeps them."""
+    from dataflow_ordered_processing_spark.streaming import sinks as sk
+
+    path = os.path.join(str(tmp_path), "data")
+    wb = sk.split_sink(
+        sk.SinkConfig(data_path=path, validate=False, compact_epochs_after=4)
+    )  # default grace: 300 s
+    for e in range(6):
+        wb(
+            spark.createDataFrame(
+                [(f"c{e}", 1, "data")], "conv_id string, turn_idx long, row_type string"
+            ),
+            e,
+        )
+    physical = [d for d in os.listdir(path) if d.startswith("epoch=")]
+    visible = sk.sink_dirs(path)
+    assert len(physical) == 6  # fold committed, inputs NOT yet deleted
+    assert sum("epoch=" in d for d in visible) == 2  # ...but superseded ones hidden
+    assert sk.read_sink(spark, path, table="unified").count() == 6  # no double read
+    sk.compact_data_epochs(spark, path, fanout=4, grace_seconds=0)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("epoch=")
+    ) == sorted(d.rsplit("/", 1)[-1] for d in visible if "epoch=" in d)
+
+
+def test_compaction_failure_does_not_quarantine_committed_rows(spark, tmp_path, monkeypatch):
+    """Review r5 #3: a maintenance (compaction) failure AFTER the epoch
+    committed must fail the batch but must NOT copy the already-committed
+    rows into the writer_error DLQ, where a replay would double-ingest."""
+    from dataflow_ordered_processing_spark.streaming import sinks as sk
+
+    path = os.path.join(str(tmp_path), "data")
+    dlq = os.path.join(str(tmp_path), "dlq")
+    wb = sk.split_sink(
+        sk.SinkConfig(
+            data_path=path, dlq_path=dlq, validate=False, compact_epochs_after=4
+        )
+    )
+
+    def boom(*a, **k):
+        raise OSError("transient fs error during fold")
+
+    monkeypatch.setattr(sk, "compact_data_epochs", boom)
+    with pytest.raises(OSError, match="transient fs error"):
+        wb(
+            spark.createDataFrame(
+                [("c0", 1, "data")], "conv_id string, turn_idx long, row_type string"
+            ),
+            0,
+        )
+    # the epoch itself committed; nothing was quarantined
+    assert os.path.exists(os.path.join(path, "epoch=0", "_SUCCESS"))
+    assert not os.path.isdir(os.path.join(dlq, "writer_error"))
+    # replaying the epoch (stream retry) is a clean no-op commit
+    monkeypatch.undo()
+    wb(
+        spark.createDataFrame(
+            [("c0", 1, "data")], "conv_id string, turn_idx long, row_type string"
+        ),
+        0,
+    )
+    assert sk.read_sink(spark, path, table="unified").count() == 1

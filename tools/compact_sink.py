@@ -1,0 +1,64 @@
+"""Offline data-epoch compaction for an ordered-pipeline sink directory.
+
+The streaming sink compacts itself per epoch (SinkConfig.compact_epochs_after),
+but a sink written by an older build — or one whose stream ran with
+compaction disabled — accumulates one `epoch=N` dir per micro-batch. This
+tool folds such a sink in place with the same leveled, crash-safe protocol
+(`sinks.compact_data_epochs`): safe to run against a LIVE sink (folds are
+`_SUCCESS`-gated and supersede-then-sweep; the default grace window keeps
+concurrent readers' listings valid) and safe to re-run (idempotent).
+
+Usage: python tools/compact_sink.py <sink-data-dir> [--fanout 16]
+       [--grace-seconds 300] [--cpus 8]
+Prints one JSON line: dirs before/after, folds performed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sink_dir", help="the sink's data directory (holds epoch=N dirs)")
+    ap.add_argument("--fanout", type=int, default=16)
+    ap.add_argument(
+        "--grace-seconds", type=float, default=300.0,
+        help="age a covering fold must reach before its superseded inputs "
+        "are deleted (0 = immediate; only safe when no reader is live)",
+    )
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from dataflow_ordered_processing_spark.session import get_spark
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        compact_data_epochs,
+        sink_dirs,
+    )
+
+    spark = get_spark(
+        "compact-sink", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    before = len(sink_dirs(args.sink_dir))
+    folds = compact_data_epochs(
+        spark, args.sink_dir, fanout=args.fanout, grace_seconds=args.grace_seconds
+    )
+    after = len(sink_dirs(args.sink_dir))
+    print(json.dumps({
+        "sink_dir": args.sink_dir,
+        "visible_dirs_before": before,
+        "visible_dirs_after": after,
+        "folds": folds,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -64,9 +64,14 @@ def main() -> int:
     if crashed:
         proc.send_signal(signal.SIGKILL)
         proc.wait()
+    # count committed EPOCH IDS through the compaction-aware view (review
+    # r5 #5: with default-on compaction, counting raw epoch= dirs
+    # under-reports once folds begin — a compact=L-lo-hi dir covers
+    # hi-lo+1 epochs)
+    from dataflow_ordered_processing_spark.streaming.sinks import _visible_entries
+
     committed_mid = sum(
-        1 for d in (os.listdir(os.path.join(out, "data")) if os.path.isdir(os.path.join(out, "data")) else [])
-        if d.startswith("epoch=")
+        hi - lo + 1 for _, lo, hi, _p in _visible_entries(os.path.join(out, "data"))
     )
 
     # leg 2: restart from the same checkpoint, run to completion
