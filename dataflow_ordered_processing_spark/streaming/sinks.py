@@ -507,18 +507,50 @@ def _sink_entries(base: str) -> list[tuple[int, int, int, str]]:
     return sorted(out, key=lambda e: (e[1], e[0]))
 
 
+def _cover_index(
+    entries: list[tuple[int, int, int, str]]
+) -> dict[int, tuple[list[int], list[int], list[str]]]:
+    """{level: (los, his, paths) sorted by lo}. Ranges WITHIN a level are
+    disjoint: folds consume disjoint visible inputs and the advisory lock
+    (below) excludes concurrent folders, so a bisect on lo finds the only
+    candidate covering range at each level — O(log m) instead of a scan."""
+    by: dict[int, list[tuple[int, int, str]]] = {}
+    for lvl, lo, hi, p in entries:
+        by.setdefault(lvl, []).append((lo, hi, p))
+    out = {}
+    for lvl, lst in by.items():
+        lst.sort()
+        out[lvl] = ([x[0] for x in lst], [x[1] for x in lst], [x[2] for x in lst])
+    return out
+
+
+def _covering_dirs(
+    e: tuple[int, int, int, str],
+    idx: dict[int, tuple[list[int], list[int], list[str]]],
+) -> list[str]:
+    """Committed HIGHER-level dirs whose epoch range contains e's — the one
+    containment/visibility rule (single definition shared by readers and
+    the sweeper; review r5b #5)."""
+    import bisect
+
+    lvl, lo, hi, _p = e
+    out = []
+    for level, (los, his, paths) in idx.items():
+        if level <= lvl:
+            continue
+        i = bisect.bisect_right(los, lo) - 1
+        if i >= 0 and his[i] >= hi:
+            out.append(paths[i])
+    return out
+
+
 def _visible_entries(base: str) -> list[tuple[int, int, int, str]]:
     """Committed entries minus those superseded by a committed higher-level
     fold containing their range (the crash window between fold commit and
     input deletion, and replay-re-created folded epochs)."""
     entries = _sink_entries(base)
-    return [
-        e
-        for e in entries
-        if not any(
-            o[0] > e[0] and o[1] <= e[1] and e[2] <= o[2] for o in entries
-        )
-    ]
+    idx = _cover_index(entries)
+    return [e for e in entries if not _covering_dirs(e, idx)]
 
 
 def sink_dirs(base: str) -> list[str]:
@@ -539,44 +571,82 @@ def compact_data_epochs(
     Superseded inputs are NOT deleted at fold time: an external reader may
     have listed sink_dirs() just before the fold committed and not yet run
     its scan (review r5 #4). They are swept on LATER calls, once the
-    covering fold's commit is at least `grace_seconds` old — a reader that
-    finishes within the window always finds the dirs it listed, and the
-    visibility rule keeps new listings from double-reading in the interim.
-    grace_seconds=0 restores immediate deletion (offline/maintenance use)."""
+    newest covering fold's commit is at least `grace_seconds` old — a
+    reader that finishes within the window always finds the dirs it
+    listed, and the visibility rule keeps new listings from double-reading
+    in the interim. grace_seconds=0 restores immediate deletion
+    (offline/maintenance use). All sweep decisions for a pass are taken
+    BEFORE any deletion (review r5b #1: deleting a mid-level fold while a
+    lower entry still references it as a cover crashed the old loop).
+
+    Concurrency: a `_compact.lock` advisory lock excludes a second
+    compactor (review r5b #2 — two writers racing mode('overwrite') on the
+    SAME compact target could commit a fold with missing part files whose
+    inputs are later swept = data loss). A held-fresh lock makes this call
+    a no-op (returns 0); a lock older than 10 min is treated as a crashed
+    holder and taken over."""
     import shutil
     import time
 
+    lock = os.path.join(base, "_compact.lock")
+    os.makedirs(base, exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        try:
+            fresh = time.time() - os.path.getmtime(lock) < 600
+        except OSError:
+            return 0  # holder just released; next call folds
+        if fresh:
+            return 0  # another compactor is active — skip this pass
+        os.remove(lock)  # stale lock from a crashed holder — take over
+        return compact_data_epochs(spark, base, fanout, grace_seconds)
+
     folds = 0
-    while True:
-        entries = _sink_entries(base)
-        visible = []
-        for e in entries:
-            covers = [
-                o for o in entries if o[0] > e[0] and o[1] <= e[1] and e[2] <= o[2]
-            ]
-            if covers:
-                committed_at = max(
-                    os.path.getmtime(os.path.join(o[3], "_SUCCESS")) for o in covers
-                )
-                if time.time() - committed_at >= grace_seconds:
-                    shutil.rmtree(e[3], ignore_errors=True)
-            else:
-                visible.append(e)
-        by_level: dict[int, list[tuple[int, int, int, str]]] = {}
-        for e in visible:
-            by_level.setdefault(e[0], []).append(e)
-        level = next(
-            (lvl for lvl in sorted(by_level) if len(by_level[lvl]) > fanout), None
-        )
-        if level is None:
-            return folds
-        batch = sorted(by_level[level], key=lambda e: e[1])[:fanout]
-        lo, hi = batch[0][1], batch[-1][2]
-        target = os.path.join(base, f"compact={level + 1}-{lo}-{hi}")
-        spark.read.parquet(*[e[3] for e in batch]).write.mode("overwrite").parquet(
-            target
-        )
-        folds += 1
+    try:
+        while True:
+            entries = _sink_entries(base)
+            idx = _cover_index(entries)
+            now = time.time()
+            visible, doomed = [], []
+            for e in entries:
+                covers = _covering_dirs(e, idx)
+                if not covers:
+                    visible.append(e)
+                    continue
+                mts = []
+                for c in covers:
+                    try:
+                        mts.append(os.path.getmtime(os.path.join(c, "_SUCCESS")))
+                    except OSError:
+                        pass  # cover swept by an older pass; others remain
+                if mts and now - max(mts) >= grace_seconds:
+                    doomed.append(e)
+            for e in doomed:  # decisions fixed before any deletion
+                shutil.rmtree(e[3], ignore_errors=True)
+            by_level: dict[int, list[tuple[int, int, int, str]]] = {}
+            for e in visible:
+                by_level.setdefault(e[0], []).append(e)
+            level = next(
+                (lvl for lvl in sorted(by_level) if len(by_level[lvl]) > fanout),
+                None,
+            )
+            if level is None:
+                return folds
+            batch = sorted(by_level[level], key=lambda e: e[1])[:fanout]
+            lo, hi = batch[0][1], batch[-1][2]
+            target = os.path.join(base, f"compact={level + 1}-{lo}-{hi}")
+            spark.read.parquet(*[e[3] for e in batch]).write.mode(
+                "overwrite"
+            ).parquet(target)
+            folds += 1
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def epoch_dirs(base: str) -> list[str]:

@@ -392,3 +392,36 @@ def test_compaction_failure_does_not_quarantine_committed_rows(spark, tmp_path, 
         0,
     )
     assert sk.read_sink(spark, path, table="unified").count() == 1
+
+
+def test_multilevel_sweep_and_lock(spark, tmp_path):
+    """Review r5b #1/#2: with a small fanout the fold cascades to level 2,
+    making an epoch dir, its level-1 cover, and the level-2 cover all
+    sweep-eligible in the same pass — decisions must be taken before any
+    deletion (the old loop crashed on getmtime of a just-deleted cover).
+    Also: a fresh _compact.lock makes a second compactor a no-op."""
+    from dataflow_ordered_processing_spark.streaming import sinks as sk
+
+    path = os.path.join(str(tmp_path), "data")
+    wb = sk.split_sink(
+        sk.SinkConfig(data_path=path, validate=False, compact_epochs_after=None)
+    )
+    for e in range(11):
+        wb(
+            spark.createDataFrame(
+                [(f"c{e}", 1, "data")], "conv_id string, turn_idx long, row_type string"
+            ),
+            e,
+        )
+    folds = sk.compact_data_epochs(spark, path, fanout=2, grace_seconds=0)
+    assert folds >= 4  # cascaded past level 1
+    entries = sk._sink_entries(path)
+    assert entries == sk._visible_entries(path)  # everything superseded swept
+    assert max(e[0] for e in entries) >= 2  # a level-2 generation exists
+    assert sk.read_sink(spark, path, table="unified").count() == 11
+
+    # a held-fresh lock turns the next call into a no-op
+    with open(os.path.join(path, "_compact.lock"), "w") as f:
+        f.write("999999")
+    assert sk.compact_data_epochs(spark, path, fanout=2, grace_seconds=0) == 0
+    os.remove(os.path.join(path, "_compact.lock"))

@@ -4,13 +4,22 @@ The streaming sink compacts itself per epoch (SinkConfig.compact_epochs_after),
 but a sink written by an older build — or one whose stream ran with
 compaction disabled — accumulates one `epoch=N` dir per micro-batch. This
 tool folds such a sink in place with the same leveled, crash-safe protocol
-(`sinks.compact_data_epochs`): safe to run against a LIVE sink (folds are
-`_SUCCESS`-gated and supersede-then-sweep; the default grace window keeps
-concurrent readers' listings valid) and safe to re-run (idempotent).
+(`sinks.compact_data_epochs`). Concurrency: readers are safe throughout
+(folds are `_SUCCESS`-gated, superseded dirs are visibility-hidden and
+swept only after the grace window); a CONCURRENT compactor (e.g. the live
+stream's own per-epoch pass) is excluded by the sink's `_compact.lock` —
+if the lock is held this tool exits having folded nothing, so run it on
+live sinks during a quiet period or rely on the stream's own compaction.
+
+With the default grace window a single offline run leaves the superseded
+input dirs on disk (there is no later call to sweep them) — the tool
+reports `superseded_pending_sweep` and a re-run after the grace window
+deletes them; for a DEAD sink pass `--grace-seconds 0` to fold and sweep
+in one shot.
 
 Usage: python tools/compact_sink.py <sink-data-dir> [--fanout 16]
        [--grace-seconds 300] [--cpus 8]
-Prints one JSON line: dirs before/after, folds performed.
+Prints one JSON line: dirs before/after, folds performed, pending sweeps.
 """
 
 from __future__ import annotations
@@ -38,6 +47,8 @@ def main() -> int:
 
     from dataflow_ordered_processing_spark.session import get_spark
     from dataflow_ordered_processing_spark.streaming.sinks import (
+        _sink_entries,
+        _visible_entries,
         compact_data_epochs,
         sink_dirs,
     )
@@ -50,12 +61,25 @@ def main() -> int:
         spark, args.sink_dir, fanout=args.fanout, grace_seconds=args.grace_seconds
     )
     after = len(sink_dirs(args.sink_dir))
-    print(json.dumps({
+    pending = len(_sink_entries(args.sink_dir)) - len(_visible_entries(args.sink_dir))
+    out = {
         "sink_dir": args.sink_dir,
         "visible_dirs_before": before,
         "visible_dirs_after": after,
         "folds": folds,
-    }))
+        "superseded_pending_sweep": pending,
+    }
+    if folds == 0 and before > args.fanout:
+        out["note"] = (
+            "0 folds on an over-threshold sink usually means another "
+            "compactor holds _compact.lock — re-run when it is quiet"
+        )
+    if pending:
+        out["note_sweep"] = (
+            f"{pending} superseded dirs await the {args.grace_seconds}s "
+            "grace window; re-run after it elapses to delete them"
+        )
+    print(json.dumps(out))
     spark.stop()
     return 0
 
