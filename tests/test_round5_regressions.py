@@ -425,3 +425,32 @@ def test_multilevel_sweep_and_lock(spark, tmp_path):
         f.write("999999")
     assert sk.compact_data_epochs(spark, path, fanout=2, grace_seconds=0) == 0
     os.remove(os.path.join(path, "_compact.lock"))
+
+
+def test_ann_plan_shapes(spark, sf_dir):
+    """Plan pins for the reworked ANN paths: candidate generation must be a
+    BROADCAST equi-join on the bucket/cell key (never a cartesian product,
+    never a sort-merge join of the corpus), and the vectorized scorer must
+    appear as a single Arrow-batched python stage (ArrowEvalPython), not a
+    per-row codegen expression tree."""
+    from pyspark.sql import functions as F
+
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    lsh = plan(S.lsh_topk(embs, queries, k=5, n_planes=4, n_tables=4))
+    assert "BroadcastHashJoin" in lsh
+    assert "CartesianProduct" not in lsh and "SortMergeJoin" not in lsh
+    assert "ArrowEvalPython" in lsh  # vectorized signatures + scorer
+
+    ivf = plan(S.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2))
+    assert "BroadcastHashJoin" in ivf
+    assert "CartesianProduct" not in ivf and "SortMergeJoin" not in ivf
+    assert "ArrowEvalPython" in ivf
