@@ -579,30 +579,28 @@ def compact_data_epochs(
     BEFORE any deletion (review r5b #1: deleting a mid-level fold while a
     lower entry still references it as a cover crashed the old loop).
 
-    Concurrency: a `_compact.lock` advisory lock excludes a second
+    Concurrency: an exclusive `flock` on `_compact.lock` excludes a second
     compactor (review r5b #2 — two writers racing mode('overwrite') on the
     SAME compact target could commit a fold with missing part files whose
-    inputs are later swept = data loss). A held-fresh lock makes this call
-    a no-op (returns 0); a lock older than 10 min is treated as a crashed
-    holder and taken over."""
+    inputs are later swept = data loss). A held lock makes this call a
+    no-op (returns 0). flock beats the usual mtime-staleness protocol on
+    every axis the r5c review probed: acquisition is atomic (no
+    check-then-remove takeover race), a crashed holder's lock is released
+    by the kernel (no staleness heuristic to mis-fire on a >10-min live
+    fold), and there is nothing to heartbeat. Local/NFSv4 filesystems
+    only — on object-store sinks coordinate compaction externally (the
+    same scope as every marker file in this module)."""
+    import fcntl
     import shutil
     import time
 
-    lock = os.path.join(base, "_compact.lock")
     os.makedirs(base, exist_ok=True)
+    lock_fd = os.open(os.path.join(base, "_compact.lock"), os.O_CREAT | os.O_RDWR)
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-    except FileExistsError:
-        try:
-            fresh = time.time() - os.path.getmtime(lock) < 600
-        except OSError:
-            return 0  # holder just released; next call folds
-        if fresh:
-            return 0  # another compactor is active — skip this pass
-        os.remove(lock)  # stale lock from a crashed holder — take over
-        return compact_data_epochs(spark, base, fanout, grace_seconds)
+        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(lock_fd)
+        return 0  # another compactor is active — skip this pass
 
     folds = 0
     try:
@@ -643,10 +641,9 @@ def compact_data_epochs(
             ).parquet(target)
             folds += 1
     finally:
-        try:
-            os.remove(lock)
-        except OSError:
-            pass
+        # the lock FILE stays (readers ignore non-dir entries); closing the
+        # fd releases the flock — and the kernel does the same if we die
+        os.close(lock_fd)
 
 
 def epoch_dirs(base: str) -> list[str]:

@@ -420,11 +420,20 @@ def test_multilevel_sweep_and_lock(spark, tmp_path):
     assert max(e[0] for e in entries) >= 2  # a level-2 generation exists
     assert sk.read_sink(spark, path, table="unified").count() == 11
 
-    # a held-fresh lock turns the next call into a no-op
-    with open(os.path.join(path, "_compact.lock"), "w") as f:
-        f.write("999999")
+    # a held flock turns the next call into a no-op (a second open of the
+    # same path is a distinct open-file-description, so LOCK_NB conflicts
+    # even from the same process)
+    import fcntl
+
+    fd = os.open(os.path.join(path, "_compact.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        assert sk.compact_data_epochs(spark, path, fanout=2, grace_seconds=0) == 0
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # released → the next call proceeds normally (nothing left to fold)
     assert sk.compact_data_epochs(spark, path, fanout=2, grace_seconds=0) == 0
-    os.remove(os.path.join(path, "_compact.lock"))
 
 
 def test_ann_plan_shapes(spark, sf_dir):

@@ -69,10 +69,17 @@ def main() -> int:
         "folds": folds,
         "superseded_pending_sweep": pending,
     }
-    if folds == 0 and before > args.fanout:
+    # lock-contention diagnostic only when a fold was actually DUE: some
+    # single level exceeds the fanout (review r5c #3 — comparing the TOTAL
+    # dir count to a per-level threshold misfires on fully compacted sinks)
+    by_level: dict[int, int] = {}
+    for lvl, _lo, _hi, _p in _visible_entries(args.sink_dir):
+        by_level[lvl] = by_level.get(lvl, 0) + 1
+    if folds == 0 and any(n > args.fanout for n in by_level.values()):
         out["note"] = (
-            "0 folds on an over-threshold sink usually means another "
-            "compactor holds _compact.lock — re-run when it is quiet"
+            "0 folds with an over-fanout level usually means another "
+            "compactor holds the _compact.lock flock — re-run when it is "
+            "quiet"
         )
     if pending:
         out["note_sweep"] = (
