@@ -658,6 +658,18 @@ def _q_repetition_score(spark, sf_dir):
     return text.repetition_score(docs)
 
 
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum downsampling (data mixing): keep 100% of
+    src0, 50% of src1, 20% of src2, 5% of everything else — md5-bucket
+    membership, so the kept set is stable under re-runs and corpus growth
+    and the whole operator is a narrow zero-shuffle projection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = text.sample_stratified(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.2}, default_rate=0.05
+    )
+    return kept.select("doc_id", "source")
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic content-independent train/val/test assignment by md5
     hash bucket — stable under re-runs and corpus growth, zero shuffle."""
@@ -945,6 +957,7 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
+    "sample_stratified",
     "ordered_emit_pandas",
     "conversation_depth_salted",
     "tumbling_stream",
@@ -1032,6 +1045,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "repetition_score": _q_repetition_score,
         "dataset_split": _q_dataset_split,
+        "sample_stratified": _q_sample_stratified,
         "decontaminate": _q_decontaminate,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -1359,6 +1373,7 @@ def _all_oracles() -> dict[str, str]:
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
         "repetition_score": _REPETITION_ORACLE,
         "dataset_split": _DATASET_SPLIT_ORACLE,
+        "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -1633,6 +1648,15 @@ SELECT doc_id,
             ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 6)
        END AS rep_score
 FROM g
+"""
+
+_SAMPLE_STRATIFIED_ORACLE = """
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 8)) AS BIGINT)
+                 % 1000000 AS b
+      FROM documents)
+WHERE b < CASE WHEN source = 'src0' THEN 1000000 WHEN source = 'src1' THEN 500000 WHEN source = 'src2' THEN 200000 ELSE 50000 END
 """
 
 _DATASET_SPLIT_ORACLE = """

@@ -269,3 +269,38 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated_grams"))
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum: str = "source",
+    default_rate: float = 0.0,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing primitive a
+    training pipeline runs last (e.g. keep 100% of books, 10% of common
+    crawl). Keep decision = md5-bucket(key) < rate·scale, so it has the
+    same production properties as dataset_split: stable under re-runs and
+    corpus growth (a kept document stays kept when more data arrives),
+    no RNG, and a pure narrow projection — zero shuffle at any scale; the
+    per-stratum rate lookup is a small CASE expression, never a join.
+    Rates are fractions in [0, 1]; strata absent from `rates` use
+    `default_rate`. Returns the kept rows (all input columns).
+
+    A seeded-RNG sample() cannot give any of this: it changes membership
+    on every retry/re-partition and cannot be reproduced by an external
+    auditor from the data alone. md5 rather than xxhash64 keeps the DuckDB
+    oracle bit-exact (same choice as dataset_split)."""
+    # bucket in [0, 1e6): md5 is uniform, so P(bucket < r·1e6) = r with
+    # ±1e-6 rate granularity
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col(key).cast("string"),
+                                          F.lit(":sample"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    rate = F.lit(float(default_rate))
+    for name, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum) == name, F.lit(float(r))).otherwise(rate)
+    return df.filter(bucket < (rate * 1_000_000).cast("long"))

@@ -463,3 +463,28 @@ def test_ann_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in ivf
     assert "CartesianProduct" not in ivf and "SortMergeJoin" not in ivf
     assert "ArrowEvalPython" in ivf
+
+
+def test_sample_stratified_rates_and_stability(spark, sf_dir):
+    """Per-stratum hash sampling: rate 1.0 keeps everything, 0.0 nothing;
+    membership is identical across re-runs AND under corpus growth (the
+    kept set of a subset equals the subset of the kept set — the property
+    a seeded-RNG sample cannot give)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_ordered_processing_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.0}
+    kept = text.sample_stratified(docs, rates, default_rate=0.4)
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert kept.filter("source = 'src0'").count() == n_src0
+    assert kept.filter("source = 'src1'").count() == 0
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in text.sample_stratified(docs, rates, default_rate=0.4)
+            .select("doc_id").collect()}
+    assert ids1 == ids2  # re-run stable
+    sub = docs.filter(F.col("doc_id") % 3 == 0)
+    sub_kept = {r["doc_id"] for r in text.sample_stratified(sub, rates, default_rate=0.4)
+                .select("doc_id").collect()}
+    assert sub_kept == {i for i in ids1 if i % 3 == 0}  # growth stable
