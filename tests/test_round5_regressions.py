@@ -488,3 +488,68 @@ def test_sample_stratified_rates_and_stability(spark, sf_dir):
     sub_kept = {r["doc_id"] for r in text.sample_stratified(sub, rates, default_rate=0.4)
                 .select("doc_id").collect()}
     assert sub_kept == {i for i in ids1 if i % 3 == 0}  # growth stable
+
+
+# ------------------------------------------------- visibility property test
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_visibility_partitions_epochs_exactly_once(tmp_path_factory, data):
+    """THE compaction safety property, driven through random histories:
+    after any sequence of folds (each possibly 'crashing' before input
+    deletion), replay re-creations of folded epochs, and partial sweeps,
+    the visible entries cover every committed epoch id EXACTLY once —
+    no loss, no double-read. Pure directory-level simulation of the same
+    layout the sink writes (fold = compact=L-lo-hi dir + _SUCCESS)."""
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        _sink_entries,
+        _visible_entries,
+    )
+
+    base = str(tmp_path_factory.mktemp("vis"))
+
+    def mk(name):
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    n_epochs = data.draw(st.integers(min_value=1, max_value=12))
+    for e in range(n_epochs):
+        mk(f"epoch={e}")
+    all_folded: list[tuple[int, int, int]] = []  # (level, lo, hi) ever created
+    for _ in range(data.draw(st.integers(min_value=0, max_value=6))):
+        vis = _visible_entries(base)
+        by_level: dict[int, list] = {}
+        for e in vis:
+            by_level.setdefault(e[0], []).append(e)
+        lvl = data.draw(st.sampled_from(sorted(by_level)))
+        cands = sorted(by_level[lvl], key=lambda e: e[1])
+        if len(cands) < 2:
+            continue
+        k = data.draw(st.integers(min_value=2, max_value=len(cands)))
+        batch = cands[:k]
+        lo, hi = batch[0][1], batch[-1][2]
+        mk(f"compact={lvl + 1}-{lo}-{hi}")
+        all_folded.append((lvl + 1, lo, hi))
+        # crash-or-not: delete each input independently (a real sweep
+        # deletes all-or-none per pass, but the invariant must hold for
+        # ANY subset left behind)
+        import shutil as _sh
+
+        for e in batch:
+            if data.draw(st.booleans()):
+                _sh.rmtree(e[3], ignore_errors=True)
+        # replay may re-create a folded epoch dir (its _SUCCESS died with
+        # the fold; _write_idempotent rewrites it)
+        if data.draw(st.booleans()):
+            mk(f"epoch={data.draw(st.integers(min_value=lo, max_value=hi))}")
+
+    covered: list[int] = []
+    for lvl, lo, hi, _p in _visible_entries(base):
+        covered.extend(range(lo, hi + 1) if lvl else [lo])
+    assert sorted(covered) == list(range(n_epochs)), (
+        f"visible entries cover {sorted(covered)} != 0..{n_epochs - 1}; "
+        f"entries={_sink_entries(base)}"
+    )
