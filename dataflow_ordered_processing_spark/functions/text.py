@@ -215,6 +215,19 @@ def repetition_score(df: DataFrame, col: str = "text", shingle: int = 3) -> Data
     return df.select("doc_id", score.alias("rep_score"))
 
 
+def _md5_bucket(key, salt: str, modulus: int):
+    """The ONE md5 hash-bucket expression behind dataset_split and
+    sample_stratified: bucket = int(first 8 hex chars of md5(key[:salt]))
+    mod modulus. Content-independent, stable under re-runs/re-partitioning
+    and corpus growth, zero shuffle; md5 rather than xxhash64 so the DuckDB
+    oracles are bit-exact. Any change here must be mirrored in BOTH
+    hand-written oracles (__spark_entry__)."""
+    keyed = F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % modulus
+    )
+
+
 def dataset_split(
     df: DataFrame,
     train_pct: int = 90,
@@ -227,11 +240,7 @@ def dataset_split(
     never migrate between splits when the corpus grows, and the operation
     is a narrow projection (zero shuffle). md5 rather than xxhash64 so the
     DuckDB oracle is bit-exact. Returns (doc_id, split)."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = _md5_bucket(F.col(key), "", 100)
     split = (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
@@ -294,12 +303,7 @@ def sample_stratified(
     oracle bit-exact (same choice as dataset_split)."""
     # bucket in [0, 1e6): md5 is uniform, so P(bucket < r·1e6) = r with
     # ±1e-6 rate granularity
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.col(key).cast("string"),
-                                          F.lit(":sample"))), 1, 8), 16, 10)
-        .cast("long")
-        % 1_000_000
-    )
+    bucket = _md5_bucket(F.col(key), ":sample", 1_000_000)
     rate = F.lit(float(default_rate))
     for name, r in sorted(rates.items()):
         rate = F.when(F.col(stratum) == name, F.lit(float(r))).otherwise(rate)

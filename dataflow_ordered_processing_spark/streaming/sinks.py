@@ -598,9 +598,24 @@ def compact_data_epochs(
     lock_fd = os.open(os.path.join(base, "_compact.lock"), os.O_CREAT | os.O_RDWR)
     try:
         fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
+    except BlockingIOError:
         os.close(lock_fd)
         return 0  # another compactor is active — skip this pass
+    except OSError as e:
+        # locking UNAVAILABLE (e.g. ENOLCK: NFS without a lock manager) is
+        # not contention — returning 0 forever would silently disable
+        # compaction and let epoch dirs grow without bound (review r5d #1).
+        # Proceed UNLOCKED with a warning: that is exactly the pre-lock
+        # behavior, safe for the normal single-compactor deployment.
+        import warnings
+
+        warnings.warn(
+            f"compact_data_epochs: flock unavailable on {base!r} ({e}); "
+            "proceeding without the advisory lock — ensure only ONE "
+            "compactor runs against this sink",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     folds = 0
     try:

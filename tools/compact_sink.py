@@ -60,8 +60,9 @@ def main() -> int:
     folds = compact_data_epochs(
         spark, args.sink_dir, fanout=args.fanout, grace_seconds=args.grace_seconds
     )
-    after = len(sink_dirs(args.sink_dir))
-    pending = len(_sink_entries(args.sink_dir)) - len(_visible_entries(args.sink_dir))
+    vis = _visible_entries(args.sink_dir)
+    after = len(vis)
+    pending = len(_sink_entries(args.sink_dir)) - len(vis)
     out = {
         "sink_dir": args.sink_dir,
         "visible_dirs_before": before,
@@ -73,7 +74,7 @@ def main() -> int:
     # single level exceeds the fanout (review r5c #3 — comparing the TOTAL
     # dir count to a per-level threshold misfires on fully compacted sinks)
     by_level: dict[int, int] = {}
-    for lvl, _lo, _hi, _p in _visible_entries(args.sink_dir):
+    for lvl, _lo, _hi, _p in vis:
         by_level[lvl] = by_level.get(lvl, 0) + 1
     if folds == 0 and any(n > args.fanout for n in by_level.values()):
         out["note"] = (
