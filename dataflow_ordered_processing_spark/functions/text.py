@@ -307,4 +307,7 @@ def sample_stratified(
     rate = F.lit(float(default_rate))
     for name, r in sorted(rates.items()):
         rate = F.when(F.col(stratum) == name, F.lit(float(r))).otherwise(rate)
-    return df.filter(bucket < (rate * 1_000_000).cast("long"))
+    # round, don't truncate (ADVICE r5): casting 0.3·1e6 = 299999.999…
+    # straight to long would silently drop one bucket (~1e-6 of docs) for
+    # any rate whose float64 product lands below the integer
+    return df.filter(bucket < F.round(rate * 1_000_000).cast("long"))

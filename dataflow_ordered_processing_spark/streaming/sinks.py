@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 from .ordered_stream import OrderedStreamConfig, ordered_stream
 
@@ -75,6 +76,11 @@ class SinkConfig:
     # the snapshot they listed. Physical lingering is bounded by
     # grace / trigger-interval extra dirs.
     compact_grace_seconds: float = 300.0
+    # Opt-in status-history retention at compaction time (VERDICT r5 #5):
+    # keep only the newest N status rows per conversation among the rows
+    # each fold sees (data rows are never pruned). None keeps every status
+    # row — today's behavior and what the status_history oracle assumes.
+    compact_status_keep_last: int | None = None
 
 
 def row_violation(cfg: SinkConfig) -> F.Column:
@@ -407,35 +413,41 @@ def split_sink(cfg: SinkConfig):
             unified = fresh_data.unionByName(
                 unified.filter(F.col("row_type") != "data")
             )
+        # ONE outer persist scope: whether the epoch write, the quarantine
+        # path, or post-commit maintenance raises, the persisted micro-batch
+        # is always unpersisted (ADVICE r5: a retrying runner otherwise
+        # accumulates cached blocks across writer failures).
         try:
-            if cfg.iceberg_table:
-                spark = batch_df.sparkSession
-                if not _iceberg_epoch_committed(spark, cfg.iceberg_table, epoch_id):
-                    unified.writeTo(cfg.iceberg_table).option(
-                        "snapshot-property.ordered.epoch", str(epoch_id)
-                    ).append()
-            else:
-                _write_idempotent(unified, cfg.data_path, epoch_id)
-        except Exception:
-            # outer fallback: a writer-level failure (not attributable to
-            # specific rows) quarantines the remaining epoch under its own
-            # namespace so it can never collide with a row-level DLQ write
-            # for the same epoch
-            if cfg.dlq_path:
-                _write_idempotent(
-                    unified.withColumn("dlq_error", F.lit("writer_error")),
-                    os.path.join(cfg.dlq_path, "writer_error"),
-                    epoch_id,
-                )
-            raise
-        # Post-commit maintenance runs OUTSIDE the quarantine scope (review
-        # r5 #3: a maintenance failure after the epoch committed must fail
-        # the batch — the stream retries and both steps are idempotent —
-        # but must NOT copy already-committed rows into the DLQ, where a
-        # replay would double-ingest them). Still inside the persist scope:
-        # the delta write consumes `unified`, whose lineage must not recompute
-        # the stateful operator.
-        try:
+            try:
+                if cfg.iceberg_table:
+                    spark = batch_df.sparkSession
+                    if not _iceberg_epoch_committed(
+                        spark, cfg.iceberg_table, epoch_id
+                    ):
+                        unified.writeTo(cfg.iceberg_table).option(
+                            "snapshot-property.ordered.epoch", str(epoch_id)
+                        ).append()
+                else:
+                    _write_idempotent(unified, cfg.data_path, epoch_id)
+            except Exception:
+                # outer fallback: a writer-level failure (not attributable to
+                # specific rows) quarantines the remaining epoch under its own
+                # namespace so it can never collide with a row-level DLQ write
+                # for the same epoch
+                if cfg.dlq_path:
+                    _write_idempotent(
+                        unified.withColumn("dlq_error", F.lit("writer_error")),
+                        os.path.join(cfg.dlq_path, "writer_error"),
+                        epoch_id,
+                    )
+                raise
+            # Post-commit maintenance runs OUTSIDE the quarantine scope
+            # (review r5 #3: a maintenance failure after the epoch committed
+            # must fail the batch — the stream retries and both steps are
+            # idempotent — but must NOT copy already-committed rows into the
+            # DLQ, where a replay would double-ingest them). Still inside the
+            # persist scope: the delta write consumes `unified`, whose
+            # lineage must not recompute the stateful operator.
             if not cfg.iceberg_table:
                 if merged:
                     # index delta AFTER the data commit: a crash in between
@@ -458,6 +470,7 @@ def split_sink(cfg: SinkConfig):
                         cfg.data_path,
                         cfg.compact_epochs_after,
                         grace_seconds=cfg.compact_grace_seconds,
+                        status_keep_last=cfg.compact_status_keep_last,
                     )
         finally:
             if persisted is not None:
@@ -561,8 +574,30 @@ def sink_dirs(base: str) -> list[str]:
     return [p for _, _, _, p in _visible_entries(base)]
 
 
+def _dir_bytes(paths: list[str]) -> int:
+    """Total parquet payload bytes under the given committed dirs — the
+    size driver for the fold's range-partition count."""
+    total = 0
+    for p in paths:
+        try:
+            names = os.listdir(p)
+        except OSError:
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(p, n))
+                except OSError:
+                    pass
+    return total
+
+
 def compact_data_epochs(
-    spark: SparkSession, base: str, fanout: int = 16, grace_seconds: float = 300.0
+    spark: SparkSession,
+    base: str,
+    fanout: int = 16,
+    grace_seconds: float = 300.0,
+    status_keep_last: int | None = None,
 ) -> int:
     """Fold data dirs level by level (see layout note above); returns the
     number of folds performed. Safe to run anytime — offline or from the
@@ -619,6 +654,20 @@ def compact_data_epochs(
 
     folds = 0
     try:
+        # Refuse raw passthrough channels (ADVICE r5): read_raw sees only
+        # epoch= dirs, so compacting one folds rows into dirs it cannot see
+        # and the grace sweep then deletes the originals — silent hot-channel
+        # data loss. Raw rows are the bare transcript schema; every dir this
+        # compactor may legitimately fold carries the sink's row_type
+        # discriminator. One driver-side footer read per call.
+        probe = _sink_entries(base)
+        if probe and "row_type" not in spark.read.parquet(probe[0][3]).columns:
+            raise ValueError(
+                f"{base!r} looks like a raw passthrough channel (no row_type "
+                "column) — compacting it would hide rows from read_raw and "
+                "then delete them. Raw channels are ordered+drained by the "
+                "hot-key pass (streaming/hotkey.py), never compacted."
+            )
         while True:
             entries = _sink_entries(base)
             idx = _cover_index(entries)
@@ -651,9 +700,52 @@ def compact_data_epochs(
             batch = sorted(by_level[level], key=lambda e: e[1])[:fanout]
             lo, hi = batch[0][1], batch[-1][2]
             target = os.path.join(base, f"compact={level + 1}-{lo}-{hi}")
-            spark.read.parquet(*[e[3] for e in batch]).write.mode(
-                "overwrite"
-            ).parquet(target)
+            paths = [e[3] for e in batch]
+            src = spark.read.parquet(*paths)
+            if status_keep_last is not None and "status_ts" in src.columns:
+                # Opt-in status retention (VERDICT r5 #5): status rows are
+                # operational telemetry emitted once per key per batch (more
+                # with heartbeats) — at the reference's 2 s cadence they
+                # dominate a long-lived sink while data rows are the
+                # product. Keep only the newest N per conversation AMONG THE
+                # ROWS THIS FOLD SEES; as folds climb levels, older rows
+                # meet in one fold and are pruned, so a conv's retained
+                # history converges to O(N × visible dirs). Data rows are
+                # never touched. received_count is the per-conv monotone
+                # tiebreak for equal status_ts (heartbeat + arrival in one
+                # wall-clock tick).
+                is_status = F.col("row_type") == "status"
+                wnd = Window.partitionBy("conv_id").orderBy(
+                    F.desc("status_ts"),
+                    F.desc("received_count"),
+                    F.desc("result_count"),
+                )
+                kept = (
+                    src.filter(is_status)
+                    .withColumn("_rk", F.row_number().over(wnd))
+                    .filter(F.col("_rk") <= int(status_keep_last))
+                    .drop("_rk")
+                )
+                src = src.filter(~is_status).unionByName(kept)
+            # Cluster the generation by key (VERDICT r5 #2 — the analog of
+            # the reference clustering its BigQuery tables by key,
+            # terraform/bigquery.tf:26,35,44): range-partition on conv_id
+            # and sort within partitions so every parquet row group carries
+            # tight conv_id min/max stats. Per-key downstream reads
+            # (latest_turns_per_key-class) then prune at both file and
+            # row-group granularity instead of scanning the whole sink.
+            # Partition count is sized from the input bytes (~128 MB
+            # targets) rather than spark.sql.shuffle.partitions so small
+            # folds write one file and a 100-TB top-level fold fans out.
+            nparts = max(1, -(-_dir_bytes(paths) // (128 << 20)))
+            sort_cols = [
+                c
+                for c in ("conv_id", "row_type", "turn_idx", "status_ts")
+                if c in src.columns
+            ]
+            src.repartitionByRange(nparts, "conv_id").sortWithinPartitions(
+                *sort_cols
+            ).write.mode("overwrite").parquet(target)
             folds += 1
     finally:
         # the lock FILE stays (readers ignore non-dir entries); closing the
@@ -812,7 +904,24 @@ def raw_passthrough_sink(base: str):
 
 def read_raw(spark: SparkSession, base: str) -> DataFrame | None:
     """Read a raw_passthrough_sink back (committed epochs only); None if
-    nothing has been committed."""
+    nothing has been committed.
+
+    Raw channels must NEVER be compacted (ADVICE r5): this reader sees only
+    level-0 ``epoch=`` dirs, so rows folded into ``compact=`` generations
+    would silently vanish from the hot channel and the compactor's grace
+    sweep would then delete the originals. Fail loudly instead of losing
+    data if a compactor was pointed here by mistake."""
+    if os.path.isdir(base) and any(
+        d.startswith("compact=") for d in os.listdir(base)
+    ):
+        raise RuntimeError(
+            f"raw passthrough channel {base!r} contains compact= generations "
+            "— it was compacted by mistake (compact_data_epochs refuses raw "
+            "layouts; an older build may not have). read_raw only reads "
+            "epoch= dirs, so proceeding would silently drop the folded rows. "
+            "Recover the rows from the compact= dirs before resetting the "
+            "channel."
+        )
     dirs = epoch_dirs(base)
     if not dirs:
         return None

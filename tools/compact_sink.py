@@ -43,6 +43,12 @@ def main() -> int:
         "are deleted (0 = immediate; only safe when no reader is live)",
     )
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--status-keep-last", type=int, default=None,
+        help="prune status rows beyond the newest N per conversation among "
+        "the rows each fold sees (data rows are never pruned); default "
+        "keeps every status row",
+    )
     args = ap.parse_args()
 
     from dataflow_ordered_processing_spark.session import get_spark
@@ -58,7 +64,11 @@ def main() -> int:
     )
     before = len(sink_dirs(args.sink_dir))
     folds = compact_data_epochs(
-        spark, args.sink_dir, fanout=args.fanout, grace_seconds=args.grace_seconds
+        spark,
+        args.sink_dir,
+        fanout=args.fanout,
+        grace_seconds=args.grace_seconds,
+        status_keep_last=args.status_keep_last,
     )
     vis = _visible_entries(args.sink_dir)
     after = len(vis)
