@@ -614,6 +614,28 @@ def _q_dedup_keep_first(spark, sf_dir):
     return dedup.dedup_keep_first(docs, pairs, transitive=True).select("doc_id")
 
 
+def _q_dedup_pipeline(spark, sf_dir):
+    """End-to-end fuzzy dedup (VERDICT r5 #4), the full production chain in
+    ONE query: MinHash-LSH candidate generation → exact n-gram-Jaccard
+    verify (candidates below 0.95 are LSH false positives and are dropped
+    — the stage that makes the pipeline precision-correct, not just
+    recall-fast) → connected components over the VERIFIED pair graph →
+    keep the minimum doc_id of each component. Returns the kept set.
+
+    Plan shape is the composition of the already-audited stages: shingle
+    explode once, digest-only band join (never all-pairs), Jaccard only on
+    the candidate pairs, CC shuffles (doc_id,label) int pairs — at 100 TB
+    nothing here materializes more than candidates × shingle sets."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
+    verified = (
+        dedup.ngram_jaccard(pairs, docs, shingle=3)
+        .filter(F.col("jaccard") >= 0.95)
+        .select("doc_a", "doc_b")
+    )
+    return dedup.dedup_keep_first(docs, verified, transitive=True).select("doc_id")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Connected-components labelling of the LSH near-dup graph: iterative
     min-label propagation with pointer-jumping compression to fixpoint
@@ -944,7 +966,16 @@ def _q_hotkey_routed(spark, sf_dir):
 # tools/check_oracles.py and the pytest suite still verify exactly.
 # ---------------------------------------------------------------------------
 
+# r6 rotation (VERDICT r5 #1, standing rule: new-in-round operators lead
+# the registry): sample_stratified was the one operator without a driver
+# row — it now leads; dedup_pipeline is this round's new composed operator.
+# Evicted to extras to hold the count at 50: latest_conversation (trivial
+# max-scan; Q6 family covered by pytest + self-check) and session_windows
+# (batch session-window family still in-gate via events_sessionize, the
+# streaming form via session_stream_append — same oracle).
 _NEVER_CHECKED_FIRST = [
+    "sample_stratified",
+    "dedup_pipeline",
     "hotkey_routed",
     "embedding_clusters",
     "fingerprint",
@@ -957,7 +988,8 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
-    "sample_stratified",
+    "latest_conversation",
+    "session_windows",
     "ordered_emit_pandas",
     "conversation_depth_salted",
     "tumbling_stream",
@@ -1029,6 +1061,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_pipeline": _q_dedup_pipeline,
         "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal_features,
@@ -1371,6 +1404,7 @@ def _all_oracles() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_ORACLE,
         "lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
+        "dedup_pipeline": _DEDUP_PIPELINE_ORACLE,
         "repetition_score": _REPETITION_ORACLE,
         "dataset_split": _DATASET_SPLIT_ORACLE,
         "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
@@ -1781,6 +1815,49 @@ SELECT c.doc_a, c.doc_b,
        round(len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))), 6)
            AS jaccard
 FROM cand c JOIN sh3 a ON c.doc_a = a.doc_id JOIN sh3 b ON c.doc_b = b.doc_id
+"""
+
+# end-to-end fuzzy dedup: the ngram_jaccard chain (candidate pairs +
+# Jaccard verify at 0.95) feeding the recursive transitive closure and the
+# keep-first resolution — ONE composed oracle for the whole pipeline
+_DEDUP_PIPELINE_ORACLE = f"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),
+sh5 AS (SELECT doc_id, list_distinct({_SHINGLES5}) AS sh FROM w),
+sig AS (SELECT doc_id,
+  {', '.join(f"list_min(list_transform(sh, s -> md5('seed{i}:' || s))) AS mh_{i}" for i in range(8))}
+FROM sh5),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+      for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sh3 AS (SELECT doc_id, list_distinct({_SHINGLES3}) AS sh FROM w),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sh3 a ON c.doc_a = a.doc_id JOIN sh3 b ON c.doc_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.95
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id FROM documents d LEFT JOIN labels l USING (doc_id)
+WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
 """
 
 _SIMHASH_ORACLE = f"""
