@@ -787,19 +787,27 @@ def _q_brute_topk(spark, sf_dir):
 
 
 def _q_lsh_topk(spark, sf_dir):
+    """OR-amplified LSH top-k with Hamming-1 multiprobe (r6): 2 tables ×
+    (1 + n_planes) probes replaces the r5 4-table exact-bucket config —
+    half the corpus-side signature work, query-side-only probe explode."""
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    return similarity.lsh_topk(embs, queries, k=5, n_planes=4, n_tables=4)
+    return similarity.lsh_topk(
+        embs, queries, k=5, n_planes=4, n_tables=2, multiprobe=True
+    )
 
 
 def _q_ivf_topk(spark, sf_dir):
+    """IVF top-k with a TRAINED codebook (r6): 3 deterministic Lloyd's
+    rounds refine the first-N init; the oracle recomputes the same training
+    in SQL (integer-micros means), so the result stays hash-exact."""
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    return similarity.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2)
+    return similarity.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2, train_iters=3)
 
 
 def _q_trailing_avg(spark, sf_dir):
@@ -1416,8 +1424,8 @@ def _all_oracles() -> dict[str, str]:
         "lang_id": _LANG_ID_ORACLE,
         "quality_score": _QUALITY_ORACLE,
         "brute_force_topk": _TOPK_ORACLE,
-        "lsh_topk": _lsh_topk_oracle(),
-        "ivf_topk": _ivf_topk_oracle(),
+        "lsh_topk": _lsh_topk_oracle(n_planes=4, n_tables=2, multiprobe=True),
+        "ivf_topk": _ivf_topk_oracle(n_cells=8, n_probe=2, n_iter=3),
         "cosine_near_dup": _cosine_near_dup_oracle(),
         # transitive closure over the same near-dup pair SQL, labelled by
         # min reachable vec_id (the dedup_clusters recursive-CTE pattern)
@@ -1554,35 +1562,76 @@ def _duck_fold_cos(a: str, b: str) -> str:
     )
 
 
-def _ivf_topk_oracle(k: int = 5, n_cells: int = 8, n_probe: int = 2) -> str:
-    """IVF ANN, exactly reproducible: the coarse codebook is the embeddings
-    of vec_id < n_cells, assignment is argmax cosine with (cell ASC)
-    tie-break — identical algebra to the Spark plan."""
-    return f"""
-WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cv
-              FROM embeddings WHERE vec_id < {n_cells}),
-ca AS (SELECT e.vec_id, e.embedding, c.cell,
-              {_duck_fold_cos('e.embedding', 'CAST(c.cv AS DOUBLE[])')} AS cs
-       FROM embeddings e CROSS JOIN cent c),
-corpus AS (SELECT vec_id, embedding, cell FROM (
+def _ivf_topk_oracle(
+    k: int = 5, n_cells: int = 8, n_probe: int = 2, n_iter: int = 3
+) -> str:
+    """IVF ANN with a TRAINED codebook (r6), exactly reproducible at any
+    scale factor because the oracle recomputes the training itself: init =
+    embeddings of vec_id < n_cells, then `n_iter` unrolled Lloyd's rounds
+    (argmax-cosine assignment with (cell ASC) tie-break, per-(cell,
+    component) mean accumulated in integer micros — addition-order-free, so
+    both engines land on the same double centroid). The codebook is
+    float32-quantized wherever it is USED (CAST FLOAT[] → DOUBLE[]), which
+    is exactly ivf_assign's np.float32(codebook) widening — identical
+    algebra to the Spark plan, term for term."""
+
+    def cbq(expr: str) -> str:
+        # codebook-in-use quantization: float32 then exact double widening
+        return f"CAST(CAST({expr} AS FLOAT[]) AS DOUBLE[])"
+
+    ctes = [
+        f"cent0 AS (SELECT CAST(vec_id AS INT) AS cell, "
+        f"CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < {n_cells})"
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(f"""as{i} AS (SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               {_duck_fold_cos('e.embedding', cbq('c.cv'))} DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent{p} c) WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS (
+  SELECT cell, j,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * count(*)) AS v
+  FROM (SELECT cell, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS j FROM as{i})
+  GROUP BY cell, j)""")
+        ctes.append(
+            f"ml{i} AS (SELECT cell, list(v ORDER BY j) AS cv FROM m{i} GROUP BY cell)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv "
+            f"FROM cent{p} p LEFT JOIN ml{i} m USING (cell))"
+        )
+    cent = f"cent{n_iter}"
+    ctes.append(f"""ca AS (SELECT e.vec_id, e.embedding, c.cell,
+              {_duck_fold_cos('e.embedding', cbq('c.cv'))} AS cs
+       FROM embeddings e CROSS JOIN {cent} c)""")
+    ctes.append("""corpus AS (SELECT vec_id, embedding, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
-    FROM ca) WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
-qa AS (SELECT q.query_id, q.qv, c.cell,
-              {_duck_fold_cos('q.qv', 'CAST(c.cv AS DOUBLE[])')} AS cs
-       FROM q CROSS JOIN cent c),
-probed AS (SELECT query_id, qv, cell FROM (
+    FROM ca) WHERE rn = 1)""")
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)"
+    )
+    ctes.append(f"""qa AS (SELECT q.query_id, q.qv, c.cell,
+              {_duck_fold_cos('q.qv', cbq('c.cv'))} AS cs
+       FROM q CROSS JOIN {cent} c)""")
+    ctes.append(f"""probed AS (SELECT query_id, qv, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell ASC) AS rn
-    FROM qa) WHERE rn <= {n_probe}),
-s AS (SELECT p.query_id, co.vec_id,
+    FROM qa) WHERE rn <= {n_probe})""")
+    ctes.append(f"""s AS (SELECT p.query_id, co.vec_id,
              round({_duck_fold_cos('co.embedding', 'p.qv')}, 6) AS cos_sim
-      FROM corpus co JOIN probed p ON co.cell = p.cell AND co.vec_id <> p.query_id),
-r AS (SELECT query_id, vec_id, cos_sim,
+      FROM corpus co JOIN probed p ON co.cell = p.cell AND co.vec_id <> p.query_id)""")
+    ctes.append("""r AS (SELECT query_id, vec_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
                  AS rank
-      FROM s)
+      FROM s)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
 SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}
 """
+    )
 
 
 def _cosine_near_dup_oracle() -> str:
@@ -1609,13 +1658,18 @@ WHERE {cos} >= 0.35
 """
 
 
-def _lsh_topk_oracle(n_planes: int = 4, n_tables: int = 4) -> str:
+def _lsh_topk_oracle(
+    n_planes: int = 4, n_tables: int = 4, multiprobe: int = 0
+) -> str:
     """The LSH hyperplanes are deterministic (seeded), so they embed as SQL
     literals — making even the approximate-NN path exactly reproducible.
     Models the OR-amplified plan (r5): per-table bucket membership UNIONed
     across `n_tables` independent plane sets (seed 42+t, exactly
     similarity.lsh_bucket_tables), candidate pairs deduped by
-    (query_id, vec_id) after scoring — same as the Spark plan."""
+    (query_id, vec_id) after scoring — same as the Spark plan. With
+    ``multiprobe`` (r6) the query side also probes every Hamming-1
+    neighbour bucket (xor with each single-bit mask) — exactly
+    similarity.multiprobe_buckets."""
     from dataflow_ordered_processing_spark.functions.similarity import hyperplanes
 
     def bits(planes):
@@ -1636,9 +1690,20 @@ def _lsh_topk_oracle(n_planes: int = 4, n_tables: int = 4) -> str:
         f"(sqrt({_duck_fold_dot('e.embedding', 'e.embedding')}) * "
         f"sqrt({_duck_fold_dot('q.qv', 'q.qv')})), 6)"
     )
+    q_cte = "SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM b WHERE vec_id < 3"
+    if multiprobe:
+        from dataflow_ordered_processing_spark.functions.similarity import probe_masks
+
+        masks = ", ".join(
+            f"({m})" for m in probe_masks(n_planes, int(multiprobe))
+        )
+        q_cte = (
+            "SELECT query_id, qv, tbl, xor(bucket, m) AS bucket FROM "
+            f"({q_cte}) q0 CROSS JOIN (VALUES {masks}) probes(m)"
+        )
     return f"""
 WITH b AS ({tables}),
-q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM b WHERE vec_id < 3),
+q AS ({q_cte}),
 s0 AS (SELECT q.query_id, e.vec_id, {cos} AS cos_sim
        FROM b e JOIN q ON e.tbl = q.tbl AND e.bucket = q.bucket
                       AND e.vec_id <> q.query_id),

@@ -178,3 +178,46 @@ def test_sample_stratified_threshold_rounds(spark):
     expect = docs.filter(bucket < 300000)  # exact integer threshold
     assert kept.count() == expect.count()
     assert kept.exceptAll(expect).count() == 0
+
+
+def test_probe_masks_and_multiprobe_superset(spark):
+    """r6 multiprobe: masks are Hamming-≤depth; probing only ADDS query-side
+    bucket rows (candidates are a superset of the exact-bucket set)."""
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    assert S.probe_masks(4, 0) == [0]
+    assert S.probe_masks(4, 1) == [0, 1, 2, 4, 8]
+    m2 = S.probe_masks(4, 2)
+    assert len(m2) == 1 + 4 + 6 and len(set(m2)) == len(m2)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.lsh_topk(emb, queries, n_planes=4, n_tables=2).collect()
+    }
+    mp = S.lsh_topk(emb, queries, n_planes=4, n_tables=2, multiprobe=1)
+    got = {(r["query_id"], r["vec_id"]) for r in mp.collect()}
+    # top-k can only improve (scores are exact; candidate set grew)
+    assert len(got) >= len(exact)
+
+
+def test_train_ivf_codebook_deterministic(spark):
+    """r6 trained IVF: two training runs over differently-partitioned input
+    produce the SAME codebook (integer-micros means are addition-order
+    free) — the property the cross-engine oracle exactness rests on."""
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1 = S.train_ivf_codebook(emb, n_cells=4, n_iter=2)
+    cb2 = S.train_ivf_codebook(emb.repartition(7), n_cells=4, n_iter=2)
+    assert cb1 == cb2
+    assert [c for c, _ in cb1] == [0, 1, 2, 3]
+    # training actually moved the centroids off the init vectors
+    init = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    assert any(cb1[i][1] != init[i] for i in range(4))

@@ -109,20 +109,39 @@ def main() -> int:
                                "mean_candidates": args.n - 1}}
 
     # ---- LSH sweep: OR-amplified (n_planes, n_tables) around the default
-    # 8p×8t, plus the old single-table 6p point for continuity with r4 ----
-    for n_planes, n_tables in ((6, 1), (8, 4), (8, 8), (10, 8), (8, 12)):
+    # 8p×8t, the old single-table 6p point for continuity with r4, and the
+    # r6 multiprobe points: Hamming-1 query-side probes so ≤4 tables (=
+    # half the corpus-side signature work) can hold the recall the r5
+    # config needed 8 tables for ----
+    for n_planes, n_tables, mp in (
+        (6, 1, 0),
+        (8, 4, 0),
+        (8, 8, 0),
+        (10, 8, 0),
+        (8, 12, 0),
+        (8, 4, 1),
+        (10, 4, 1),
+        (12, 4, 1),
+        (10, 3, 1),
+        (12, 4, 2),
+        (14, 4, 2),
+        (12, 3, 2),
+    ):
         t0 = time.time()
         got = topk_sets(
             S.lsh_topk(emb, queries, k=args.k, n_planes=n_planes, dim=args.dim,
-                       n_tables=n_tables)
+                       n_tables=n_tables, multiprobe=mp)
         )
         wall = round(time.time() - t0, 2)
         # candidate count = DISTINCT (query, vec) same-bucket pairs over the
-        # union of tables — the per-query scoring work the OR buys recall
-        # with. Mean over ALL queries (total/args.queries): a query with no
-        # bucket hits must count as 0 candidates, not drop from the average.
+        # union of tables (and probes) — the per-query scoring work the OR
+        # buys recall with. Mean over ALL queries (total/args.queries): a
+        # query with no bucket hits must count as 0 candidates, not drop
+        # from the average.
         cb = S.lsh_bucket_tables(emb, "embedding", n_planes, n_tables, args.dim)
         qb = S.lsh_bucket_tables(queries, "q_embedding", n_planes, n_tables, args.dim)
+        if mp:
+            qb = S.multiprobe_buckets(qb, n_planes, depth=mp)
         cand = (
             cb.join(F.broadcast(qb), ["lsh_table", "lsh_bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -130,7 +149,7 @@ def main() -> int:
             .distinct()
             .count()
         ) / args.queries
-        name = f"lsh_{n_planes}p_{n_tables}t"
+        name = f"lsh_{n_planes}p_{n_tables}t" + (f"_mp{mp}" if mp else "")
         results[name] = {
             "recall_at_k": recall_at_k(truth, got, args.k),
             "wall_s": wall,
@@ -139,15 +158,22 @@ def main() -> int:
         }
         print(json.dumps({"variant": name, **results[name]}))
 
-    # ---- IVF sweep: n_probe one step down/up from the default 2 ----
-    for n_probe in (1, 2, 4):
+    # ---- IVF sweep: n_probe one step down/up from the default 2, fixed
+    # first-N codebook vs the r6 TRAINED codebook (3 Lloyd's rounds) ----
+    for n_probe, train_iters in ((1, 0), (2, 0), (4, 0), (1, 3), (2, 3), (4, 3)):
         t0 = time.time()
         got = topk_sets(
-            S.ivf_topk(emb, queries, k=args.k, n_cells=64, n_probe=n_probe)
+            S.ivf_topk(emb, queries, k=args.k, n_cells=64, n_probe=n_probe,
+                       train_iters=train_iters)
         )
         wall = round(time.time() - t0, 2)
-        cent_rows = emb.filter(F.col("vec_id") < 64).select("vec_id", "embedding").collect()
-        centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
+        if train_iters:
+            centroids = S.train_ivf_codebook(emb, "embedding", n_cells=64,
+                                             n_iter=train_iters)
+        else:
+            cent_rows = emb.filter(F.col("vec_id") < 64).select(
+                "vec_id", "embedding").collect()
+            centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
         corpus_c = S.ivf_assign(emb, "embedding", centroids, n_probe=1)
         probed = S.ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
         cand = (
@@ -155,13 +181,14 @@ def main() -> int:
             .filter(F.col("vec_id") != F.col("query_id"))
             .count()
         ) / args.queries
-        results[f"ivf_probe_{n_probe}"] = {
+        name = f"ivf_probe_{n_probe}" + (f"_trained{train_iters}" if train_iters else "")
+        results[name] = {
             "recall_at_k": recall_at_k(truth, got, args.k),
             "wall_s": wall,
             "mean_candidates": round(float(cand or 0), 1),
+            "candidate_pct": round(100.0 * cand / args.n, 2),
         }
-        print(json.dumps({"variant": f"ivf_probe_{n_probe}",
-                          **results[f"ivf_probe_{n_probe}"]}))
+        print(json.dumps({"variant": name, **results[name]}))
 
     out = {
         "bench": "ann_recall",
