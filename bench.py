@@ -163,6 +163,8 @@ def main() -> int:
     run("text_stats", lambda: E._q_quality(spark, sf_dir).count())
     run("brute_force_topk", lambda: E._q_brute_topk(spark, sf_dir).count())
     run("lsh_topk", lambda: E._q_lsh_topk(spark, sf_dir).count())
+    run("ivf_topk", lambda: E._q_ivf_topk(spark, sf_dir).count())
+    run("dedup_pipeline", lambda: E._q_dedup_pipeline(spark, sf_dir).count())
     run("multimodal_features", lambda: E._q_multimodal_features(spark, sf_dir).count())
     run("vocab_topk", lambda: E._q_vocab_topk(spark, sf_dir).count())
     run("pricing_summary", lambda: E._q_pricing_summary(spark, sf_dir).count())

@@ -714,6 +714,8 @@ def compact_data_epochs(
                 # never touched. received_count is the per-conv monotone
                 # tiebreak for equal status_ts (heartbeat + arrival in one
                 # wall-clock tick).
+                # NB: isin/== are three-valued — a NULL row_type must land
+                # on the "not status" (never-pruned) side, not vanish
                 is_status = F.col("row_type") == "status"
                 wnd = Window.partitionBy("conv_id").orderBy(
                     F.desc("status_ts"),
@@ -726,7 +728,9 @@ def compact_data_epochs(
                     .filter(F.col("_rk") <= int(status_keep_last))
                     .drop("_rk")
                 )
-                src = src.filter(~is_status).unionByName(kept)
+                src = src.filter(F.coalesce(~is_status, F.lit(True))).unionByName(
+                    kept
+                )
             # Cluster the generation by key (VERDICT r5 #2 — the analog of
             # the reference clustering its BigQuery tables by key,
             # terraform/bigquery.tf:26,35,44): range-partition on conv_id

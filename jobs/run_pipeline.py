@@ -360,6 +360,17 @@ def main() -> int:
         "are dropped by the incremental ordering pass",
     )
     ap.add_argument(
+        "--status-keep-last",
+        type=int,
+        default=None,
+        help="opt-in status-history retention at compaction time: folds "
+        "prune status rows beyond the newest N per conversation (data "
+        "rows are never pruned). Default keeps every status row — at a "
+        "2 s trigger the status table dominates a long-lived sink, so "
+        "production deployments that only need the latest few statuses "
+        "per key should set this (e.g. 16)",
+    )
+    ap.add_argument(
         "--merge-on-key",
         action="store_true",
         help="paranoid exactly-once: additionally drop data rows at or below "
@@ -406,6 +417,7 @@ def main() -> int:
         dlq_path=os.path.join(args.out, "dlq"),
         checkpoint=args.checkpoint,
         merge_on_key=args.merge_on_key,
+        compact_status_keep_last=args.status_keep_last,
     )
 
     if not args.no_warmup:
