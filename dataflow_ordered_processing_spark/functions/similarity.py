@@ -128,15 +128,17 @@ def lsh_bucket_tables(
 
 def probe_masks(n_planes: int, depth: int) -> list[int]:
     """XOR masks for Hamming-≤depth multiprobe, ascending popcount then
-    value — ONE definition shared by the Spark plan and the SQL oracle."""
+    lexicographic bit order within each popcount class — ONE definition
+    shared by the Spark plan and the SQL oracle. Any depth ≤ n_planes is
+    honored (review r6: the first version silently clamped depth to 2, so
+    multiprobe=3 probed fewer buckets than its label claimed)."""
+    import itertools
+
     masks = [0]
-    if depth >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if depth >= 2:
+    for d in range(1, min(depth, n_planes) + 1):
         masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
+            sum(1 << b for b in bits)
+            for bits in itertools.combinations(range(n_planes), d)
         ]
     return masks
 
@@ -335,6 +337,12 @@ def train_ivf_codebook(
         .collect()
     )
     centroids = sorted((int(r["vec_id"]), list(r[vec_col])) for r in cent_rows)
+    if not centroids:
+        raise ValueError(
+            f"train_ivf_codebook: no init centroids — the corpus has no rows "
+            f"with vec_id < n_cells ({n_cells}); the deterministic init "
+            "requires ids 0..n_cells-1 to exist"
+        )
     dim = len(centroids[0][1])
     for _ in range(n_iter):
         assigned = ivf_assign(embeddings, vec_col, centroids, n_probe=1)
@@ -368,6 +376,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     train_iters: int = 0,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k — the coarse-quantizer scale path beyond LSH:
     corpus vectors are bucketed by nearest centroid (a narrow literal-codebook
@@ -382,7 +391,12 @@ def ivf_topk(
     equal recall costs fewer candidates. Either way collecting the codebook
     is a plan-build step, exactly like generating LSH hyperplanes, and the
     whole operator stays exactly reproducible in SQL for the oracle."""
-    if train_iters:
+    if codebook is not None:
+        # precomputed centroids (review r6: sweeps that score AND count
+        # candidates for the same config were re-training identical
+        # codebooks); train_iters/n_cells describe how the caller built it
+        centroids = codebook
+    elif train_iters:
         centroids = train_ivf_codebook(
             embeddings, "embedding", n_cells=n_cells, n_iter=train_iters
         )

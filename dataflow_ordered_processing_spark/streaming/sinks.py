@@ -389,35 +389,42 @@ def split_sink(cfg: SinkConfig):
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         unified = batch_df.withColumn("ingest_ts", F.current_timestamp())
         persisted = None
-        if cfg.validate and cfg.dlq_path and "row_type" in batch_df.columns:
-            # Row-level DLQ: divert only the violating rows, keep the rest.
-            # The micro-batch is persisted so the stateful operator's output
-            # is computed once even though two writes consume it.
-            persisted = unified.withColumn("dlq_error", row_violation(cfg)).persist()
-            bad = persisted.filter(F.col("dlq_error").isNotNull())
-            if not bad.isEmpty():
-                _write_idempotent(bad, cfg.dlq_path, epoch_id)
-            unified = persisted.filter(F.col("dlq_error").isNull()).drop("dlq_error")
-        merged = cfg.merge_on_key and not cfg.iceberg_table
-        if merged and os.path.exists(cfg.data_path):
-            # O(batch) per epoch: consult the compact high-watermark index,
-            # never the sink data (r3 VERDICT: the old full-sink anti-join
-            # made every epoch cost O(rows ever written))
-            spark = batch_df.sparkSession
-            if persisted is None:
-                persisted = unified.persist()
-                unified = persisted
-            fresh_data = _merge_fresh_data(
-                spark, cfg.data_path, unified.filter(F.col("row_type") == "data")
-            )
-            unified = fresh_data.unionByName(
-                unified.filter(F.col("row_type") != "data")
-            )
-        # ONE outer persist scope: whether the epoch write, the quarantine
-        # path, or post-commit maintenance raises, the persisted micro-batch
-        # is always unpersisted (ADVICE r5: a retrying runner otherwise
-        # accumulates cached blocks across writer failures).
+        # ONE outer persist scope opened BEFORE the first .persist() call:
+        # whether the DLQ split, the merge probe, the epoch write, the
+        # quarantine path, or post-commit maintenance raises, the persisted
+        # micro-batch is always unpersisted (ADVICE r5; review r6: the first
+        # fix started the scope after the DLQ/merge steps, so a failing DLQ
+        # write still leaked cached blocks on every stream retry).
         try:
+            if cfg.validate and cfg.dlq_path and "row_type" in batch_df.columns:
+                # Row-level DLQ: divert only the violating rows, keep the
+                # rest. The micro-batch is persisted so the stateful
+                # operator's output is computed once even though two writes
+                # consume it.
+                persisted = unified.withColumn(
+                    "dlq_error", row_violation(cfg)
+                ).persist()
+                bad = persisted.filter(F.col("dlq_error").isNotNull())
+                if not bad.isEmpty():
+                    _write_idempotent(bad, cfg.dlq_path, epoch_id)
+                unified = persisted.filter(F.col("dlq_error").isNull()).drop(
+                    "dlq_error"
+                )
+            merged = cfg.merge_on_key and not cfg.iceberg_table
+            if merged and os.path.exists(cfg.data_path):
+                # O(batch) per epoch: consult the compact high-watermark
+                # index, never the sink data (r3 VERDICT: the old full-sink
+                # anti-join made every epoch cost O(rows ever written))
+                spark = batch_df.sparkSession
+                if persisted is None:
+                    persisted = unified.persist()
+                    unified = persisted
+                fresh_data = _merge_fresh_data(
+                    spark, cfg.data_path, unified.filter(F.col("row_type") == "data")
+                )
+                unified = fresh_data.unionByName(
+                    unified.filter(F.col("row_type") != "data")
+                )
             try:
                 if cfg.iceberg_table:
                     spark = batch_df.sparkSession
@@ -592,6 +599,12 @@ def _dir_bytes(paths: list[str]) -> int:
     return total
 
 
+# Sink bases whose first committed dir carried the unified row_type schema —
+# per-process memo so the foreachBatch compaction path sniffs each sink's
+# parquet footer once, not per micro-batch (review r6).
+_UNIFIED_LAYOUT_OK: set[str] = set()
+
+
 def compact_data_epochs(
     spark: SparkSession,
     base: str,
@@ -657,17 +670,33 @@ def compact_data_epochs(
         # Refuse raw passthrough channels (ADVICE r5): read_raw sees only
         # epoch= dirs, so compacting one folds rows into dirs it cannot see
         # and the grace sweep then deletes the originals — silent hot-channel
-        # data loss. Raw rows are the bare transcript schema; every dir this
-        # compactor may legitimately fold carries the sink's row_type
-        # discriminator. One driver-side footer read per call.
-        probe = _sink_entries(base)
-        if probe and "row_type" not in spark.read.parquet(probe[0][3]).columns:
+        # data loss. Two guards (review r6): the EXACT one is the
+        # `_raw_channel` marker raw_passthrough_sink writes — it holds even
+        # if a raw schema ever gains a row_type column. The schema sniff is
+        # the fallback for channels written by older builds; its positive
+        # (unified) verdict is cached per process so the per-micro-batch
+        # compaction call from split_sink pays the footer read once, not on
+        # every 2 s trigger.
+        if os.path.exists(os.path.join(base, "_raw_channel")):
             raise ValueError(
-                f"{base!r} looks like a raw passthrough channel (no row_type "
-                "column) — compacting it would hide rows from read_raw and "
+                f"{base!r} is a raw passthrough channel (_raw_channel "
+                "marker) — compacting it would hide rows from read_raw and "
                 "then delete them. Raw channels are ordered+drained by the "
                 "hot-key pass (streaming/hotkey.py), never compacted."
             )
+        real = os.path.realpath(base)
+        if real not in _UNIFIED_LAYOUT_OK:
+            probe = _sink_entries(base)
+            if probe and "row_type" not in spark.read.parquet(probe[0][3]).columns:
+                raise ValueError(
+                    f"{base!r} looks like a raw passthrough channel (no "
+                    "row_type column) — compacting it would hide rows from "
+                    "read_raw and then delete them. Raw channels are "
+                    "ordered+drained by the hot-key pass "
+                    "(streaming/hotkey.py), never compacted."
+                )
+            if probe:
+                _UNIFIED_LAYOUT_OK.add(real)
         while True:
             entries = _sink_entries(base)
             idx = _cover_index(entries)
@@ -901,6 +930,15 @@ def raw_passthrough_sink(base: str):
     sink, so replays are no-ops."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        # Declare the channel type ONCE so compact_data_epochs can refuse
+        # this layout exactly instead of heuristically (review r6: the
+        # schema sniff alone would flip silently if a raw schema ever
+        # gained a row_type column).
+        os.makedirs(base, exist_ok=True)
+        marker = os.path.join(base, "_raw_channel")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("raw passthrough channel — never compact\n")
         _write_idempotent(batch_df, base, epoch_id)
 
     return write

@@ -221,3 +221,119 @@ def test_train_ivf_codebook_deterministic(spark):
         for r in emb.filter(F.col("vec_id") < 4).collect()
     }
     assert any(cb1[i][1] != init[i] for i in range(4))
+
+
+def test_unpersist_on_dlq_write_failure(spark, tmp_path, monkeypatch):
+    """Review r6: the r5 persist-leak fix opened its try/finally AFTER the
+    row-level DLQ split, so a failing DLQ write (disk full) still leaked
+    the persisted micro-batch. The unpersist scope must start before the
+    first persist()."""
+    path = os.path.join(str(tmp_path), "data")
+    dlq = os.path.join(str(tmp_path), "dlq")
+    cfg = sk.SinkConfig(data_path=path, dlq_path=dlq, validate=True)
+    wb = sk.split_sink(cfg)
+    real = sk._write_idempotent
+
+    def fail_dlq_writes(df, base, epoch_id):
+        if base == dlq:
+            raise OSError("dlq disk full")
+        return real(df, base, epoch_id)
+
+    monkeypatch.setattr(sk, "_write_idempotent", fail_dlq_writes)
+    baseline = _n_persistent(spark)
+    # one violating row (NULL conv_id) forces the row-level DLQ write
+    batch = spark.createDataFrame(
+        [_data_row("c0", 1), _data_row(None, 1)], _UNIFIED_SCHEMA
+    )
+    with pytest.raises(OSError, match="dlq disk full"):
+        wb(batch, 0)
+    assert _n_persistent(spark) == baseline
+
+
+def test_compactor_refuses_marked_raw_channel_even_with_row_type(spark, tmp_path):
+    """Review r6: the schema sniff flips silently if a raw channel's schema
+    ever gains a row_type column — the _raw_channel marker written by
+    raw_passthrough_sink must refuse exactly, independent of schema."""
+    raw = os.path.join(str(tmp_path), "hot_raw")
+    w = sk.raw_passthrough_sink(raw)
+    # raw rows that HAPPEN to carry a row_type column (the heuristic's blind
+    # spot): the marker must still refuse compaction
+    w(
+        spark.createDataFrame(
+            [("c0", 1, "data")], "conv_id string, turn_idx long, row_type string"
+        ),
+        0,
+    )
+    assert os.path.exists(os.path.join(raw, "_raw_channel"))
+    with pytest.raises(ValueError, match="_raw_channel marker"):
+        sk.compact_data_epochs(spark, raw, fanout=2, grace_seconds=0)
+    assert sk.read_raw(spark, raw).count() == 1
+
+
+def test_unified_sniff_cached_per_process(spark, tmp_path, monkeypatch):
+    """Review r6: the raw-channel schema sniff ran a parquet footer read on
+    EVERY compact_data_epochs call — per micro-batch on the streaming hot
+    path. A sink whose layout verified once must not be re-sniffed."""
+    path = os.path.join(str(tmp_path), "data")
+    wb = sk.split_sink(sk.SinkConfig(data_path=path))
+    wb(spark.createDataFrame([_data_row("c0", 1)], _UNIFIED_SCHEMA), 0)
+    sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
+    assert os.path.realpath(path) in sk._UNIFIED_LAYOUT_OK
+    calls = {"n": 0}
+    real_entries = sk._sink_entries
+
+    def counting_entries(base):
+        calls["n"] += 1
+        return real_entries(base)
+
+    monkeypatch.setattr(sk, "_sink_entries", counting_entries)
+    sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
+    # the guard's probe listing is skipped; only the fold loop lists
+    assert calls["n"] == 1
+
+
+def test_probe_masks_any_depth():
+    """Review r6: probe_masks silently clamped depth to 2. Depth d must
+    enumerate every mask of popcount <= d (clamped to n_planes), with the
+    depth-2 prefix unchanged from the shipped oracle definition."""
+    from math import comb
+
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    n = 6
+    m3 = S.probe_masks(n, 3)
+    assert len(m3) == 1 + comb(n, 1) + comb(n, 2) + comb(n, 3)
+    assert len(set(m3)) == len(m3)
+    assert all(bin(m).count("1") <= 3 and m < (1 << n) for m in m3)
+    # prefix stability: the r5-shipped depth<=2 definition is unchanged
+    legacy = [0] + [1 << i for i in range(n)] + [
+        (1 << i) | (1 << j) for i in range(n) for j in range(i + 1, n)
+    ]
+    assert m3[: len(legacy)] == legacy
+    # depth beyond n_planes = full enumeration, no error
+    assert len(S.probe_masks(3, 99)) == 8
+
+
+def test_train_ivf_codebook_empty_init_raises(spark):
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no init centroids"):
+        S.train_ivf_codebook(emb, "embedding", n_cells=8, n_iter=1)
+
+
+def test_ivf_topk_codebook_override_matches_training(spark):
+    """ivf_topk(codebook=...) must reproduce ivf_topk(train_iters=...) when
+    given the codebook that training produces (the sweep-hoisting contract)."""
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(4)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qrows = [(i, r[1]) for i, r in zip(range(3), rows[5:8])]
+    q = spark.createDataFrame(qrows, "query_id long, q_embedding array<float>")
+    cb = S.train_ivf_codebook(emb, "embedding", n_cells=4, n_iter=2)
+    a = S.ivf_topk(emb, q, k=3, n_cells=4, n_probe=2, train_iters=2)
+    b = S.ivf_topk(emb, q, k=3, n_cells=4, n_probe=2, codebook=cb)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

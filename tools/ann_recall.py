@@ -159,21 +159,24 @@ def main() -> int:
         print(json.dumps({"variant": name, **results[name]}))
 
     # ---- IVF sweep: n_probe one step down/up from the default 2, fixed
-    # first-N codebook vs the r6 TRAINED codebook (3 Lloyd's rounds) ----
+    # first-N codebook vs the r6 TRAINED codebook (3 Lloyd's rounds).
+    # Each distinct codebook is built ONCE and reused for scoring and the
+    # candidate count (review r6: the loop used to retrain the identical
+    # deterministic codebook 6×) ----
+    cent_rows = emb.filter(F.col("vec_id") < 64).select(
+        "vec_id", "embedding").collect()
+    codebooks = {
+        0: [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows],
+        3: S.train_ivf_codebook(emb, "embedding", n_cells=64, n_iter=3),
+    }
     for n_probe, train_iters in ((1, 0), (2, 0), (4, 0), (1, 3), (2, 3), (4, 3)):
+        centroids = codebooks[train_iters]
         t0 = time.time()
         got = topk_sets(
             S.ivf_topk(emb, queries, k=args.k, n_cells=64, n_probe=n_probe,
-                       train_iters=train_iters)
+                       codebook=centroids)
         )
         wall = round(time.time() - t0, 2)
-        if train_iters:
-            centroids = S.train_ivf_codebook(emb, "embedding", n_cells=64,
-                                             n_iter=train_iters)
-        else:
-            cent_rows = emb.filter(F.col("vec_id") < 64).select(
-                "vec_id", "embedding").collect()
-            centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
         corpus_c = S.ivf_assign(emb, "embedding", centroids, n_probe=1)
         probed = S.ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
         cand = (
@@ -198,6 +201,7 @@ def main() -> int:
         "k": args.k,
         "cpus": args.cpus,
         "corpus": "256-cluster gaussian mixture, sigma 0.35, seed 7",
+        "wall_note": "IVF wall_s is scoring-time with a PREBUILT codebook (each distinct codebook, incl. the trained one, is built once per sweep and reused — the index-reuse deployment shape); LSH wall_s still includes in-call signature computation",
         "variants": results,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
