@@ -699,6 +699,28 @@ def _q_dataset_split(spark, sf_dir):
     return text.dataset_split(docs)
 
 
+def _q_training_mix(spark, sf_dir):
+    """End-to-end training-data curation (r6): language gate (predicted
+    'en') → quality gate (composite ≥ 0.3) → decontaminate against the
+    deterministic pseudo-eval set (doc_id % 97 == 0) → stratified
+    downsample (100% src0, 50% src1, 20% rest) → train/val/test split.
+    One narrow corpus scan evaluates lang + quality inline; the only other
+    corpus pass is the contamination gram explode whose flagged set is
+    broadcast for the anti-join; sampling/split are zero-shuffle md5
+    buckets. Composed from the exact-oracle recipes of lang_id /
+    quality_score / decontaminate / sample_stratified / dataset_split."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return text.training_mix(
+        docs,
+        bench,
+        lang="en",
+        min_quality=0.3,
+        rates={"src0": 1.0, "src1": 0.5},
+        default_rate=0.2,
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 8-gram with the
     (deterministic pseudo-)eval set doc_id % 97 == 0 — broadcast digested
@@ -978,10 +1000,13 @@ def _q_hotkey_routed(spark, sf_dir):
 # the registry): sample_stratified was the one operator without a driver
 # row — it now leads; dedup_pipeline is this round's new composed operator.
 # Evicted to extras to hold the count at 50: latest_conversation (trivial
-# max-scan; Q6 family covered by pytest + self-check) and session_windows
+# max-scan; Q6 family covered by pytest + self-check), session_windows
 # (batch session-window family still in-gate via events_sessionize, the
-# streaming form via session_stream_append — same oracle).
+# streaming form via session_stream_append — same oracle), and, in r6,
+# dataset_split (its md5-bucket split recipe runs verbatim inside the
+# in-gate training_mix final stage; still exact-checked in extras).
 _NEVER_CHECKED_FIRST = [
+    "training_mix",
     "sample_stratified",
     "dedup_pipeline",
     "hotkey_routed",
@@ -996,6 +1021,7 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
+    "dataset_split",
     "latest_conversation",
     "session_windows",
     "ordered_emit_pandas",
@@ -1086,6 +1112,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "repetition_score": _q_repetition_score,
         "dataset_split": _q_dataset_split,
+        "training_mix": _q_training_mix,
         "sample_stratified": _q_sample_stratified,
         "decontaminate": _q_decontaminate,
         "lang_id": _q_lang_id,
@@ -1413,6 +1440,7 @@ def _all_oracles() -> dict[str, str]:
         "lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "dedup_keep_first": _DEDUP_KEEP_FIRST_ORACLE,
         "dedup_pipeline": _DEDUP_PIPELINE_ORACLE,
+        "training_mix": _TRAINING_MIX_ORACLE,
         "repetition_score": _REPETITION_ORACLE,
         "dataset_split": _DATASET_SPLIT_ORACLE,
         "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
@@ -1994,6 +2022,58 @@ SELECT doc_id, n_chars_q, n_tokens, n_punct, n_stopword_hits,
              + (CASE WHEN n_punct > 0 THEN 0.25 ELSE 0.0 END)
              + least(0.25, n_stopword_hits / 20.0), 4) AS quality
 FROM b
+"""
+
+# Composed from the exact recipes of _LANG_ID_ORACLE, _QUALITY_ORACLE,
+# _DECONTAMINATE_ORACLE, _SAMPLE_STRATIFIED_ORACLE and _DATASET_SPLIT_ORACLE
+# (one CTE per stage). The quality threshold is an e-notation literal so
+# DuckDB parses it as DOUBLE directly — a plain `0.3` parses as DECIMAL and
+# compares 1 ulp above the float64 Spark uses, flipping boundary docs
+# (memory: r3 oracle-literal recipe).
+_TRAINING_MIX_ORACLE = f"""
+WITH lp AS (
+  SELECT doc_id, source,
+         {', '.join(f"{_hits_sql(ws)} AS h_{c}" for c, ws in _LANG_MARKER_SQL.items())}
+  FROM documents),
+lang AS (
+  SELECT doc_id, source,
+         CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_es >= h_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM lp),
+qb AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+         {_hits_sql(_LANG_MARKER_SQL['en'])} AS n_stopword_hits
+  FROM documents),
+q AS (
+  SELECT doc_id, n_tokens,
+         round(least(1.0, n_tokens / 64.0) * 0.5
+               + (CASE WHEN n_punct > 0 THEN 0.25 ELSE 0.0 END)
+               + least(0.25, n_stopword_hits / 20.0), 4) AS quality
+  FROM qb),
+w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES8}) AS sh FROM w),
+doc_g AS (SELECT doc_id, md5(unnest(sh)) AS gh FROM sh),
+bench_g AS (SELECT DISTINCT gh FROM doc_g WHERE doc_id % 97 = 0),
+flagged AS (SELECT DISTINCT d.doc_id FROM doc_g d JOIN bench_g b USING (gh)),
+surv AS (
+  SELECT l.doc_id, l.source, q.n_tokens, q.quality
+  FROM lang l JOIN q USING (doc_id)
+  WHERE l.lang_pred = 'en' AND q.quality >= {0.3:.17e}
+    AND l.doc_id NOT IN (SELECT doc_id FROM flagged)),
+samp AS (
+  SELECT *, CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 8)) AS BIGINT) % 1000000 AS sb
+  FROM surv),
+kept AS (
+  SELECT doc_id, source, n_tokens, quality
+  FROM samp
+  WHERE sb < CASE WHEN source = 'src0' THEN 1000000 WHEN source = 'src1' THEN 500000 ELSE 200000 END)
+SELECT doc_id, source, n_tokens, quality,
+       CASE WHEN db < 90 THEN 'train' WHEN db < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS db FROM kept)
 """
 
 _TOPK_ORACLE = """

@@ -107,66 +107,71 @@ def doc_length_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + a composite
-    score — the standard cheap quality gates of LLM data pipelines."""
+def _marker_hits(col: str, words: list[str]) -> F.Column:
+    """Stopword hit count: ' the ' / ' and ' style marker matches in the
+    lowered, space-padded text."""
+    lowered = F.concat(F.lit(" "), F.lower(F.col(col)), F.lit(" "))
+    return sum(
+        (F.length(lowered) - F.length(F.regexp_replace(lowered, rf" {w} ", "|")))
+        / (len(w) + 1)
+        for w in words
+    ).cast("long")
+
+
+def _quality_exprs(col: str) -> dict[str, F.Column]:
+    """The quality-gate feature expressions, name → Column — shared by
+    quality_score and training_mix so the composed pipeline evaluates them
+    inline on its single corpus scan instead of re-deriving them through a
+    self-join."""
     length = F.length(col)
     n_tokens = F.size(F.split(F.trim(F.col(col)), r"\s+"))
     n_punct = length - F.length(F.regexp_replace(F.col(col), r"[.,;:!?]", ""))
-    # stopword hits: count of ' the ', ' and ', ' of ' style matches
-    lowered = F.concat(F.lit(" "), F.lower(F.col(col)), F.lit(" "))
-    n_stop = sum(
-        (F.length(lowered) - F.length(F.regexp_replace(lowered, rf" {w} ", "|")))
-        / (len(w) + 1)
-        for w in LANG_MARKERS["en"]
-    ).cast("long")
+    n_stop = _marker_hits(col, LANG_MARKERS["en"])
     mean_tok_len = (length - n_tokens + 1) / n_tokens
-    return df.select(
-        "doc_id",
-        length.alias("n_chars_q"),
-        n_tokens.alias("n_tokens"),
-        n_punct.alias("n_punct"),
-        n_stop.alias("n_stopword_hits"),
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(
+    return {
+        "n_chars_q": length,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "n_stopword_hits": n_stop,
+        "mean_token_len": F.round(mean_tok_len, 4),
+        "quality": F.round(
             F.least(F.lit(1.0), n_tokens / 64.0) * 0.5
             + F.when(n_punct > 0, 0.25).otherwise(0.0)
             + F.least(F.lit(0.25), n_stop / 20.0),
             4,
-        ).alias("quality"),
-    )
+        ),
+    }
 
 
-def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
-    """Marker-word language ID: argmax over per-language stopword hit counts
-    (deterministic tie-break by language code)."""
-    lowered = F.concat(F.lit(" "), F.lower(F.col(col)), F.lit(" "))
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score — the standard cheap quality gates of LLM data pipelines."""
+    e = _quality_exprs(col)
+    return df.select("doc_id", *(v.alias(k) for k, v in e.items()))
 
-    def hits(words: list[str]):
-        return sum(
-            (F.length(lowered) - F.length(F.regexp_replace(lowered, rf" {w} ", "|")))
-            / (len(w) + 1)
-            for w in words
-        ).cast("long")
 
-    scored = df.select(
-        "doc_id",
-        "lang",
-        *[hits(ws).alias(f"h_{code}") for code, ws in LANG_MARKERS.items()],
-    )
-    # argmax with deterministic tie-break: greatest over (count, -code-rank)
+def _lang_best(col: str) -> F.Column:
+    """argmax-by-marker-hits language struct (n, ord, code) with a
+    deterministic tie-break: greatest over (count, -code-rank). Shared by
+    lang_id and training_mix."""
     pairs = F.array(
         *[
             F.struct(
-                F.col(f"h_{c}").alias("n"),
+                _marker_hits(col, LANG_MARKERS[c]).alias("n"),
                 F.lit(-i).alias("ord"),
                 F.lit(c).alias("code"),
             )
             for i, c in enumerate(sorted(LANG_MARKERS))
         ]
     )
-    best = F.array_max(pairs)
-    return scored.select(
+    return F.array_max(pairs)
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax over per-language stopword hit counts
+    (deterministic tie-break by language code)."""
+    best = _lang_best(col)
+    return df.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
         best["code"].alias("lang_pred"),
@@ -311,3 +316,61 @@ def sample_stratified(
     # straight to long would silently drop one bucket (~1e-6 of docs) for
     # any rate whose float64 product lands below the integer
     return df.filter(bucket < F.round(rate * 1_000_000).cast("long"))
+
+
+def training_mix(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    rates: dict[str, float] | None = None,
+    stratum: str = "source",
+    default_rate: float = 0.0,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    col: str = "text",
+) -> DataFrame:
+    """The end-to-end training-data curation mix, composed the way a real
+    pretraining pipeline chains it: language gate → quality gate →
+    benchmark decontamination → per-stratum deterministic downsampling →
+    train/val/test assignment. Returns the kept documents as
+    (doc_id, <stratum>, n_tokens, quality, split).
+
+    Plan shape for 100 TB (the reason this is one operator and not five
+    joined queries): the language-ID argmax and quality features are
+    evaluated INLINE on a single narrow corpus scan (`_lang_best` /
+    `_quality_exprs` — no self-joins re-reading the corpus per feature);
+    the only second corpus pass is decontaminate's gram explode, whose
+    flagged-doc output (tiny by nature — docs overlapping an eval set) is
+    broadcast for the anti-join; sampling and split assignment are
+    zero-shuffle md5-bucket projections. Net: two corpus scans, zero
+    wide shuffles, one broadcast.
+
+    Every stage reuses the exact-oracle recipe of its standalone operator
+    (lang_id / quality_score / decontaminate / sample_stratified /
+    dataset_split), so the composition stays reproducible in SQL."""
+    q = _quality_exprs(col)
+    best = _lang_best(col)
+    flagged = decontaminate(docs, benchmark, col=col).select("doc_id")
+    survivors = (
+        docs.withColumn("n_tokens", q["n_tokens"])
+        .withColumn("quality", q["quality"])
+        .withColumn("lang_pred", best["code"])
+        .filter(
+            (F.col("lang_pred") == lang)
+            & (F.col("quality") >= float(min_quality))
+        )
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+    )
+    kept = sample_stratified(
+        survivors, rates or {}, stratum=stratum, default_rate=default_rate
+    )
+    split_bucket = _md5_bucket(F.col("doc_id"), "", 100)
+    split = (
+        F.when(split_bucket < train_pct, "train")
+        .when(split_bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return kept.select(
+        "doc_id", stratum, "n_tokens", "quality", split.alias("split")
+    )
