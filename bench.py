@@ -165,6 +165,7 @@ def main() -> int:
     run("lsh_topk", lambda: E._q_lsh_topk(spark, sf_dir).count())
     run("ivf_topk", lambda: E._q_ivf_topk(spark, sf_dir).count())
     run("dedup_pipeline", lambda: E._q_dedup_pipeline(spark, sf_dir).count())
+    run("training_mix", lambda: E._q_training_mix(spark, sf_dir).count())
     run("multimodal_features", lambda: E._q_multimodal_features(spark, sf_dir).count())
     run("vocab_topk", lambda: E._q_vocab_topk(spark, sf_dir).count())
     run("pricing_summary", lambda: E._q_pricing_summary(spark, sf_dir).count())

@@ -337,11 +337,15 @@ def train_ivf_codebook(
         .collect()
     )
     centroids = sorted((int(r["vec_id"]), list(r[vec_col])) for r in cent_rows)
-    if not centroids:
+    if len(centroids) != n_cells:
+        # enforce, don't just document (review r6b: a partial init — corpus
+        # smaller than n_cells or sparse low ids — silently trained a
+        # smaller codebook than the label claimed)
         raise ValueError(
-            f"train_ivf_codebook: no init centroids — the corpus has no rows "
-            f"with vec_id < n_cells ({n_cells}); the deterministic init "
-            "requires ids 0..n_cells-1 to exist"
+            f"train_ivf_codebook: init found {len(centroids)} centroids but "
+            f"n_cells={n_cells}; the deterministic init requires ids "
+            "0..n_cells-1 to exist (train on a corpus with dense low "
+            "vec_ids, or lower n_cells)"
         )
     dim = len(centroids[0][1])
     for _ in range(n_iter):
@@ -406,7 +410,12 @@ def ivf_topk(
             .select("vec_id", "embedding")
             .collect()
         )
-        centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
+        # sorted: ivf_assign's tie-break resolves to the SMALLER cell, which
+        # assumes a cell-ascending centroid list — collect() order is
+        # partition-dependent (review r6b)
+        centroids = sorted(
+            (int(r["vec_id"]), list(r["embedding"])) for r in cent_rows
+        )
     corpus = ivf_assign(embeddings, "embedding", centroids, n_probe=1)
     probed = ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
     joined = corpus.join(F.broadcast(probed), "cell").filter(

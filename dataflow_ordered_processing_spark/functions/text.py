@@ -245,13 +245,21 @@ def dataset_split(
     never migrate between splits when the corpus grows, and the operation
     is a narrow projection (zero shuffle). md5 rather than xxhash64 so the
     DuckDB oracle is bit-exact. Returns (doc_id, split)."""
+    return df.select(
+        "doc_id", _split_expr(key, train_pct, val_pct).alias("split")
+    )
+
+
+def _split_expr(key: str, train_pct: int, val_pct: int) -> F.Column:
+    """The ONE train/val/test md5-bucket CASE expression — shared by
+    dataset_split and training_mix (review r6b: a third hand copy of the
+    recipe is a divergence waiting to happen; the oracles are already two)."""
     bucket = _md5_bucket(F.col(key), "", 100)
-    split = (
+    return (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
     )
-    return df.select("doc_id", split.alias("split"))
 
 
 def decontaminate(
@@ -325,7 +333,7 @@ def training_mix(
     min_quality: float = 0.5,
     rates: dict[str, float] | None = None,
     stratum: str = "source",
-    default_rate: float = 0.0,
+    default_rate: float = 1.0,
     train_pct: int = 90,
     val_pct: int = 5,
     col: str = "text",
@@ -343,8 +351,15 @@ def training_mix(
     the only second corpus pass is decontaminate's gram explode, whose
     flagged-doc output (tiny by nature — docs overlapping an eval set) is
     broadcast for the anti-join; sampling and split assignment are
-    zero-shuffle md5-bucket projections. Net: two corpus scans, zero
-    wide shuffles, one broadcast.
+    zero-shuffle md5-bucket projections. Net: two corpus scans, one
+    broadcast, and no corpus-scale shuffle — the only exchange in the plan
+    aggregates the matched (doc_id, gram) pairs out of the contamination
+    join, a set bounded by eval-set overlap, not corpus size.
+
+    `default_rate` deliberately defaults to 1.0 (keep strata absent from
+    `rates`): a curation entry point whose default silently dropped every
+    document would be a footgun (review r6b); pass an explicit
+    default_rate to downsample unlisted strata.
 
     Every stage reuses the exact-oracle recipe of its standalone operator
     (lang_id / quality_score / decontaminate / sample_stratified /
@@ -365,12 +380,10 @@ def training_mix(
     kept = sample_stratified(
         survivors, rates or {}, stratum=stratum, default_rate=default_rate
     )
-    split_bucket = _md5_bucket(F.col("doc_id"), "", 100)
-    split = (
-        F.when(split_bucket < train_pct, "train")
-        .when(split_bucket < train_pct + val_pct, "val")
-        .otherwise("test")
-    )
     return kept.select(
-        "doc_id", stratum, "n_tokens", "quality", split.alias("split")
+        "doc_id",
+        stratum,
+        "n_tokens",
+        "quality",
+        _split_expr("doc_id", train_pct, val_pct).alias("split"),
     )

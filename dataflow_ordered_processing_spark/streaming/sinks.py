@@ -601,8 +601,12 @@ def _dir_bytes(paths: list[str]) -> int:
 
 # Sink bases whose first committed dir carried the unified row_type schema —
 # per-process memo so the foreachBatch compaction path sniffs each sink's
-# parquet footer once, not per micro-batch (review r6).
-_UNIFIED_LAYOUT_OK: set[str] = set()
+# parquet footer once, not per micro-batch (review r6). Keyed realpath →
+# base-dir inode: a verdict only replays onto the SAME directory — if the
+# sink is torn down and the path recreated (possibly as a raw channel), the
+# inode differs and the sniff runs again (review r6b: a path-only memo
+# would let a stale verdict bypass the guard).
+_UNIFIED_LAYOUT_OK: dict[str, int] = {}
 
 
 def compact_data_epochs(
@@ -685,7 +689,8 @@ def compact_data_epochs(
                 "hot-key pass (streaming/hotkey.py), never compacted."
             )
         real = os.path.realpath(base)
-        if real not in _UNIFIED_LAYOUT_OK:
+        base_ino = os.stat(real).st_ino
+        if _UNIFIED_LAYOUT_OK.get(real) != base_ino:
             probe = _sink_entries(base)
             if probe and "row_type" not in spark.read.parquet(probe[0][3]).columns:
                 raise ValueError(
@@ -696,7 +701,7 @@ def compact_data_epochs(
                     "(streaming/hotkey.py), never compacted."
                 )
             if probe:
-                _UNIFIED_LAYOUT_OK.add(real)
+                _UNIFIED_LAYOUT_OK[real] = base_ino
         while True:
             entries = _sink_entries(base)
             idx = _cover_index(entries)

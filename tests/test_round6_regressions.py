@@ -320,8 +320,15 @@ def test_train_ivf_codebook_empty_init_raises(spark):
     emb = spark.createDataFrame(
         [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "vec_id long, embedding array<float>"
     )
-    with pytest.raises(ValueError, match="no init centroids"):
+    with pytest.raises(ValueError, match="requires ids"):
         S.train_ivf_codebook(emb, "embedding", n_cells=8, n_iter=1)
+    # partial init (review r6b): 2 of 8 ids present must ALSO raise — a
+    # silently smaller codebook mislabels every downstream artifact
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="found 2 centroids"):
+        S.train_ivf_codebook(emb2, "embedding", n_cells=8, n_iter=1)
 
 
 def test_ivf_topk_codebook_override_matches_training(spark):

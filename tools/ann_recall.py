@@ -166,7 +166,7 @@ def main() -> int:
     cent_rows = emb.filter(F.col("vec_id") < 64).select(
         "vec_id", "embedding").collect()
     codebooks = {
-        0: [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows],
+        0: sorted((int(r["vec_id"]), list(r["embedding"])) for r in cent_rows),
         3: S.train_ivf_codebook(emb, "embedding", n_cells=64, n_iter=3),
     }
     for n_probe, train_iters in ((1, 0), (2, 0), (4, 0), (1, 3), (2, 3), (4, 3)):
