@@ -832,6 +832,23 @@ def _q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2, train_iters=3)
 
 
+def _q_ivf_topk_indexed(spark, sf_dir):
+    """IVF top-k against a MATERIALIZED index (r6): build_ivf_index writes
+    the corpus partitioned by cell (+ codebook JSON) once; the query plan
+    collects its probed cell ids and pushes a static partition filter into
+    the scan, so only probed `cell=N/` dirs are opened — the index-reuse
+    deployment shape ivf_topk (which re-assigns the corpus per call)
+    cannot give. Same params as ivf_topk, bit-identical results, SAME
+    oracle."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = _stage_dir("ivf-index")
+    similarity.build_ivf_index(embs, idx, n_cells=8, train_iters=3)
+    return similarity.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
+
+
 def _q_trailing_avg(spark, sf_dir):
     """A3 analog (reference Simulator.java:120-134 trailing VWAP): trailing
     mean text length over the last 5 turns per conversation, in turn order."""
@@ -1004,9 +1021,12 @@ def _q_hotkey_routed(spark, sf_dir):
 # (batch session-window family still in-gate via events_sessionize, the
 # streaming form via session_stream_append — same oracle), and, in r6,
 # dataset_split (its md5-bucket split recipe runs verbatim inside the
-# in-gate training_mix final stage; still exact-checked in extras).
+# in-gate training_mix final stage) and lsh_bucket_stats (a diagnostic
+# view of the LSH bucketing that minhash_lsh_pairs and dedup_pipeline
+# keep in-gate). Both still exact-checked in extras.
 _NEVER_CHECKED_FIRST = [
     "training_mix",
+    "ivf_topk_indexed",
     "sample_stratified",
     "dedup_pipeline",
     "hotkey_routed",
@@ -1022,6 +1042,7 @@ _NEVER_CHECKED_FIRST = [
 
 _EXTRA_KEYS = [
     "dataset_split",
+    "lsh_bucket_stats",
     "latest_conversation",
     "session_windows",
     "ordered_emit_pandas",
@@ -1121,6 +1142,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brute_force_topk": _q_brute_topk,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_indexed": _q_ivf_topk_indexed,
         "cosine_near_dup": _q_cosine_near_dup,
         "embedding_clusters": _q_embedding_clusters,
         "status_history": _q_status_history,
@@ -1454,6 +1476,9 @@ def _all_oracles() -> dict[str, str]:
         "brute_force_topk": _TOPK_ORACLE,
         "lsh_topk": _lsh_topk_oracle(n_planes=4, n_tables=2, multiprobe=True),
         "ivf_topk": _ivf_topk_oracle(n_cells=8, n_probe=2, n_iter=3),
+        # the indexed form is bit-identical to ivf_topk by construction
+        # (same codebook recipe, JSON float round-trip exact) — same oracle
+        "ivf_topk_indexed": _ivf_topk_oracle(n_cells=8, n_probe=2, n_iter=3),
         "cosine_near_dup": _cosine_near_dup_oracle(),
         # transitive closure over the same near-dup pair SQL, labelled by
         # min reachable vec_id (the dedup_clusters recursive-CTE pattern)

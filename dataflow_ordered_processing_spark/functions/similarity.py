@@ -418,12 +418,18 @@ def ivf_topk(
         )
     corpus = ivf_assign(embeddings, "embedding", centroids, n_probe=1)
     probed = ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
+    return _topk_within_cells(corpus, probed, k)
+
+
+def _topk_within_cells(corpus: DataFrame, probed: DataFrame, k: int) -> DataFrame:
+    """Shared IVF scoring tail: broadcast-join the probed query set against
+    the cell-bucketed corpus, score candidates with the vectorized cosine
+    (one numpy pass per Arrow batch — VERDICT r4 #1: the HOF cosine fold
+    per candidate made this plan ~10× LSH's cost at equal candidate
+    volume), rank per query."""
     joined = corpus.join(F.broadcast(probed), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    # vectorized scorer (one numpy pass per Arrow batch) — VERDICT r4 #1:
-    # the HOF cosine fold per candidate made this plan ~10× LSH's cost at
-    # equal candidate volume
     scored = joined.select(
         "query_id",
         "vec_id",
@@ -437,6 +443,98 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .select("query_id", "vec_id", "cos_sim", F.col("_rn").cast("long").alias("rank"))
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    train_iters: int = 0,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index ON DISK — the deployment shape per-call
+    ivf_topk cannot give. The codebook is built once (trained or fixed,
+    identical recipes to ivf_topk), every corpus vector is assigned to its
+    nearest cell in ONE scan, and the corpus is written PARTITIONED BY
+    CELL (`corpus/cell=N/...`) with the codebook alongside as JSON.
+
+    Why this matters at 100 TB: ivf_topk re-assigns the whole corpus on
+    every call — fine for one query batch, absurd for a query service.
+    With the index, the assignment scan amortizes to zero and each query
+    batch reads ONLY its probed cells via static partition pruning
+    (`ivf_topk_indexed` collects the ≤ n_cells probed cell ids at plan
+    build — the query side is broadcast-tiny by design — so the parquet
+    scan carries a PartitionFilters entry and untouched cells are never
+    opened). n_probe/n_cells then bounds the scanned fraction directly.
+
+    Returns the codebook; results through ivf_topk_indexed are identical
+    to ivf_topk with the same parameters (tested), so the same SQL oracle
+    covers both."""
+    import json
+    import os
+
+    if train_iters:
+        codebook = train_ivf_codebook(
+            embeddings, vec_col, n_cells=n_cells, n_iter=train_iters
+        )
+    else:
+        cent_rows = (
+            embeddings.filter(F.col("vec_id") < n_cells)
+            .select("vec_id", vec_col)
+            .collect()
+        )
+        codebook = sorted(
+            (int(r["vec_id"]), list(r[vec_col])) for r in cent_rows
+        )
+    assigned = ivf_assign(embeddings, vec_col, codebook, n_probe=1)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "corpus")
+    )
+    # atomic codebook publish: readers either see the old complete file or
+    # the new complete file, never a partial write
+    meta = {
+        "n_cells": int(n_cells),
+        "train_iters": int(train_iters),
+        "vec_col": vec_col,
+        "codebook": [[int(c), [float(x) for x in v]] for c, v in codebook],
+    }
+    tmp = os.path.join(path, "_codebook.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "codebook.json"))
+    return codebook
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate top-k against a materialized build_ivf_index layout.
+    Plan shape: the query batch is assigned to its `n_probe` cells with the
+    stored codebook (narrow, no corpus touch); the probed cell ids (≤
+    n_cells values — the query side of this plan is broadcast-tiny by
+    construction) are collected at plan build and pushed into the corpus
+    scan as a static `cell IN (...)` partition filter, so only the probed
+    `cell=N/` directories are ever opened; scoring is the shared broadcast
+    join + vectorized cosine. JSON float round-trip is exact (repr), so
+    results match ivf_topk with the same parameters bit-for-bit."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebook.json")) as f:
+        meta = json.load(f)
+    codebook = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
+    probed = ivf_assign(queries, "q_embedding", codebook, n_probe=n_probe)
+    probed_cells = sorted(
+        int(r["cell"]) for r in probed.select("cell").distinct().collect()
+    )
+    corpus = spark.read.parquet(os.path.join(path, "corpus")).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    return _topk_within_cells(corpus, probed, k)
 
 
 def cosine_near_dup(

@@ -397,3 +397,51 @@ def test_training_mix_plan_shape(spark, sf_dir):
     assert plan.count("Scan parquet") <= 3, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_index_build_query_matches_direct(spark, sf_dir, tmp_path):
+    """ivf_topk_indexed over a materialized build_ivf_index layout must be
+    bit-identical to per-call ivf_topk with the same parameters (same
+    codebook recipe; JSON float round-trip is exact)."""
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    cb = S.build_ivf_index(embs, idx, n_cells=8, train_iters=3)
+    assert len(cb) == 8
+    direct = S.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2, train_iters=3)
+    indexed = S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+
+
+def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100-TB contract of the materialized index: the corpus scan
+    carries a static cell partition filter, so unprobed cell=N/ dirs are
+    never opened."""
+    import os
+
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(embs, idx, n_cells=8, train_iters=3)
+    n_cell_dirs = len(
+        [d for d in os.listdir(os.path.join(idx, "corpus")) if d.startswith("cell=")]
+    )
+    assert n_cell_dirs > 2  # the index actually fanned out
+    plan = (
+        S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the scan must name a concrete cell partition filter, not scan-all
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120], plan
