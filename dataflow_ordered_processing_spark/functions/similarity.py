@@ -451,6 +451,7 @@ def build_ivf_index(
     n_cells: int = 8,
     train_iters: int = 0,
     vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index ON DISK — the deployment shape per-call
     ivf_topk cannot give. The codebook is built once (trained or fixed,
@@ -473,7 +474,11 @@ def build_ivf_index(
     import json
     import os
 
-    if train_iters:
+    if codebook is not None:
+        # caller-supplied (e.g. already trained once for several indexes);
+        # same literal-codebook contract as ivf_topk(codebook=...)
+        codebook = [(int(c), list(v)) for c, v in codebook]
+    elif train_iters:
         codebook = train_ivf_codebook(
             embeddings, vec_col, n_cells=n_cells, n_iter=train_iters
         )

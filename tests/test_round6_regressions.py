@@ -417,6 +417,15 @@ def test_ivf_index_build_query_matches_direct(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, indexed.collect())
     )
+    # caller-supplied codebook (train once, build many indexes) must land
+    # the identical layout + results
+    idx2 = str(tmp_path / "ivf2")
+    cb2 = S.build_ivf_index(embs, idx2, n_cells=8, codebook=cb)
+    assert cb2 == cb
+    indexed2 = S.ivf_topk_indexed(spark, idx2, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, indexed2.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
 
 
 def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
