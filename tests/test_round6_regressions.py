@@ -446,6 +446,12 @@ def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
         [d for d in os.listdir(os.path.join(idx, "corpus")) if d.startswith("cell=")]
     )
     assert n_cell_dirs > 2  # the index actually fanned out
+    # small-files guard: the clustered write lands ~files_per_cell (=1)
+    # parquet files per cell dir, not one per upstream partition
+    import glob as _glob
+
+    n_files = len(_glob.glob(os.path.join(idx, "corpus", "cell=*", "*.parquet")))
+    assert n_files <= 2 * n_cell_dirs, (n_files, n_cell_dirs)
     plan = (
         S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
         ._jdf.queryExecution()
