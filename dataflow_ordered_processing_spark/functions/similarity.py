@@ -458,7 +458,9 @@ def build_ivf_index(
     ivf_topk cannot give. The codebook is built once (trained or fixed,
     identical recipes to ivf_topk), every corpus vector is assigned to its
     nearest cell in ONE scan, and the corpus is written PARTITIONED BY
-    CELL (`corpus/cell=N/...`) with the codebook alongside as JSON.
+    CELL inside a committed epoch dir (`corpus/epoch=base/cell=N/...`,
+    `_SUCCESS`-gated) with the codebook alongside as JSON; later
+    append_ivf_epoch generations extend the corpus idempotently.
 
     Why this matters at 100 TB: ivf_topk re-assigns the whole corpus on
     every call — fine for one query batch, absurd for a query service.
@@ -492,20 +494,10 @@ def build_ivf_index(
         codebook = sorted(
             (int(r["vec_id"]), list(r[vec_col])) for r in cent_rows
         )
-    assigned = ivf_assign(embeddings, vec_col, codebook, n_probe=1)
-    # Cluster the write so each cell dir lands as ~files_per_cell files.
-    # Without this, partitionBy fans out every upstream partition into
-    # every cell dir (P × n_cells tiny files — measured 4096 files for a
-    # 26 MB corpus, making indexed reads SLOWER than a full scan). One
-    # file per cell is right when cells fit a parquet block; raise
-    # files_per_cell for huge cells — the deterministic vec_id salt
-    # splits a cell across exactly that many writers.
-    salt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(int(files_per_cell)))
-    assigned = assigned.repartition(
-        int(n_cells) * int(files_per_cell), F.col("cell"), salt
-    )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "corpus")
+    _write_index_epoch(
+        embeddings, codebook, vec_col,
+        os.path.join(path, "corpus", "epoch=base"),
+        n_cells, files_per_cell,
     )
     # atomic codebook publish: readers either see the old complete file or
     # the new complete file, never a partial write
@@ -520,6 +512,91 @@ def build_ivf_index(
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, "codebook.json"))
     return codebook
+
+
+def _write_index_epoch(
+    vectors: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    vec_col: str,
+    epoch_dir: str,
+    n_cells: int,
+    files_per_cell: int,
+) -> None:
+    """Assign + write one committed index epoch: `<epoch_dir>/cell=N/...`
+    with Spark's `_SUCCESS` inside the epoch dir as the commit marker.
+    Cluster the write so each cell dir lands as ~files_per_cell files.
+    Without this, partitionBy fans out every upstream partition into
+    every cell dir (P × n_cells tiny files — measured 4,096 files for a
+    26 MB corpus, making indexed reads SLOWER than a full scan). One
+    file per cell is right when cells fit a parquet block; raise
+    files_per_cell for huge cells — the deterministic vec_id salt
+    splits a cell across exactly that many writers."""
+    assigned = ivf_assign(vectors, vec_col, codebook, n_probe=1)
+    salt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(int(files_per_cell)))
+    assigned = assigned.repartition(
+        int(n_cells) * int(files_per_cell), F.col("cell"), salt
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(epoch_dir)
+
+
+def append_ivf_epoch(
+    delta: DataFrame,
+    path: str,
+    epoch: str,
+    files_per_cell: int = 1,
+) -> bool:
+    """Grow a materialized IVF index IDEMPOTENTLY as the corpus grows —
+    the maintenance operation a 100-TB index needs between (rare, full)
+    rebuilds. The delta is assigned with the STORED codebook (one narrow
+    scan of the delta only; the existing corpus is never touched) and
+    written as a new `corpus/epoch=<epoch>/cell=N/` generation, committed
+    by Spark's `_SUCCESS` marker exactly like the transcript epoch sink
+    (streaming/sinks.py): readers see only committed epochs, a crashed
+    half-written epoch is invisible and safely overwritten on retry, and
+    a REPLAY of an already-committed epoch is a no-op (returns False) —
+    so an at-least-once upstream (a restarted backfill job, a streaming
+    foreachBatch) lands every vector exactly once.
+
+    Contract: delta rows carry NEW vec_ids (append-only corpus — the
+    caller's dedup story, e.g. dedup_exact upstream, owns identity). The
+    codebook is NOT retrained; if the delta's distribution drifts from
+    the codebook's, recall decays and the answer is a full
+    build_ivf_index rebuild — same trade as any IVF system."""
+    import json
+    import os
+    import re
+    import shutil
+
+    if not re.fullmatch(r"[A-Za-z0-9_-]+", epoch) or epoch == "base":
+        raise ValueError(
+            f"epoch must be [A-Za-z0-9_-]+ and not the reserved 'base': {epoch!r}"
+        )
+    with open(os.path.join(path, "codebook.json")) as f:
+        meta = json.load(f)
+    codebook = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
+    epoch_dir = os.path.join(path, "corpus", f"epoch={epoch}")
+    if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+        return False  # committed replay — exactly-once no-op
+    if os.path.exists(epoch_dir):
+        shutil.rmtree(epoch_dir)  # crashed half-write — retry from clean
+    _write_index_epoch(
+        delta, codebook, meta["vec_col"], epoch_dir,
+        int(meta["n_cells"]), files_per_cell,
+    )
+    return True
+
+
+def _committed_index_epochs(corpus_root: str) -> list[str]:
+    """Committed (`_SUCCESS`-gated) epoch dirs — the index-side analog of
+    sinks.epoch_dirs visibility."""
+    import os
+
+    return [
+        os.path.join(corpus_root, d)
+        for d in sorted(os.listdir(corpus_root))
+        if d.startswith("epoch=")
+        and os.path.exists(os.path.join(corpus_root, d, "_SUCCESS"))
+    ]
 
 
 def ivf_topk_indexed(
@@ -548,8 +625,17 @@ def ivf_topk_indexed(
     probed_cells = sorted(
         int(r["cell"]) for r in probed.select("cell").distinct().collect()
     )
-    corpus = spark.read.parquet(os.path.join(path, "corpus")).filter(
-        F.col("cell").isin(probed_cells)
+    corpus_root = os.path.join(path, "corpus")
+    epochs = _committed_index_epochs(corpus_root)
+    if not epochs:
+        raise FileNotFoundError(f"no committed index epochs under {corpus_root}")
+    # explicit committed-epoch paths + basePath keep BOTH partition columns
+    # (epoch, cell) discovered, so the static cell filter still prunes at
+    # the directory level while half-written epochs stay invisible
+    corpus = (
+        spark.read.option("basePath", corpus_root)
+        .parquet(*epochs)
+        .filter(F.col("cell").isin(probed_cells))
     )
     return _topk_within_cells(corpus, probed, k)
 

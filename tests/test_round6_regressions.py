@@ -442,15 +442,14 @@ def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     )
     idx = str(tmp_path / "ivf")
     S.build_ivf_index(embs, idx, n_cells=8, train_iters=3)
-    n_cell_dirs = len(
-        [d for d in os.listdir(os.path.join(idx, "corpus")) if d.startswith("cell=")]
-    )
+    base = os.path.join(idx, "corpus", "epoch=base")
+    n_cell_dirs = len([d for d in os.listdir(base) if d.startswith("cell=")])
     assert n_cell_dirs > 2  # the index actually fanned out
     # small-files guard: the clustered write lands ~files_per_cell (=1)
     # parquet files per cell dir, not one per upstream partition
     import glob as _glob
 
-    n_files = len(_glob.glob(os.path.join(idx, "corpus", "cell=*", "*.parquet")))
+    n_files = len(_glob.glob(os.path.join(base, "cell=*", "*.parquet")))
     assert n_files <= 2 * n_cell_dirs, (n_files, n_cell_dirs)
     plan = (
         S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
@@ -460,3 +459,77 @@ def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     )
     # the scan must name a concrete cell partition filter, not scan-all
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_ivf_append_epoch_grows_index_idempotently(spark, sf_dir, tmp_path):
+    """append_ivf_epoch: the delta is assigned with the STORED codebook and
+    committed as a _SUCCESS-gated epoch generation — results over the grown
+    index equal per-call ivf_topk over the union corpus with the SAME
+    (base-trained) codebook; a replay of a committed epoch is a no-op; a
+    crashed half-written epoch is invisible until retried."""
+    import os
+    import shutil
+
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # range split: the strict deterministic init needs ids 0..n_cells-1
+    # present in the training (base) corpus
+    base = embs.filter(F.col("vec_id") < 300)
+    delta = embs.filter(F.col("vec_id") >= 300)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    cb = S.build_ivf_index(base, idx, n_cells=8, train_iters=3)
+
+    assert S.append_ivf_epoch(delta, idx, "e0001") is True
+    grown = sorted(
+        map(tuple, S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2, codebook=cb).collect(),
+        )
+    )
+    assert grown == want
+
+    # committed replay: no-op, results unchanged
+    assert S.append_ivf_epoch(delta, idx, "e0001") is False
+    assert (
+        sorted(
+            map(
+                tuple,
+                S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect(),
+            )
+        )
+        == grown
+    )
+
+    # crashed half-write: epoch dir without _SUCCESS must be invisible...
+    crashed = os.path.join(idx, "corpus", "epoch=e0002")
+    src = os.path.join(idx, "corpus", "epoch=e0001")
+    shutil.copytree(src, crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    assert (
+        sorted(
+            map(
+                tuple,
+                S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect(),
+            )
+        )
+        == grown
+    )
+    # ...and a retry of that epoch cleans it up and commits
+    extra = embs.filter(F.col("vec_id") < 0)  # empty delta is still an epoch
+    assert S.append_ivf_epoch(extra, idx, "e0002") is True
+    assert os.path.exists(os.path.join(crashed, "_SUCCESS"))
+
+    # epoch name hygiene
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.append_ivf_epoch(delta, idx, "base")
+    with _pytest.raises(ValueError):
+        S.append_ivf_epoch(delta, idx, "../evil")

@@ -144,11 +144,11 @@ def main() -> int:
         indexed_wall = round(time.time() - t0, 2)
 
         files_total = len(
-            glob.glob(os.path.join(idx_path, "corpus", "cell=*", "*.parquet"))
+            glob.glob(os.path.join(idx_path, "corpus", "epoch=*", "cell=*", "*.parquet"))
         )
         files_probed = [
             sum(
-                len(glob.glob(os.path.join(idx_path, "corpus", f"cell={c}", "*.parquet")))
+                len(glob.glob(os.path.join(idx_path, "corpus", "epoch=*", f"cell={c}", "*.parquet")))
                 for c in cells
             )
             for cells in probed_cells
