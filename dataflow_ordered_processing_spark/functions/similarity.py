@@ -405,20 +405,34 @@ def ivf_topk(
             embeddings, "embedding", n_cells=n_cells, n_iter=train_iters
         )
     else:
-        cent_rows = (
-            embeddings.filter(F.col("vec_id") < n_cells)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        # sorted: ivf_assign's tie-break resolves to the SMALLER cell, which
-        # assumes a cell-ascending centroid list — collect() order is
-        # partition-dependent (review r6b)
-        centroids = sorted(
-            (int(r["vec_id"]), list(r["embedding"])) for r in cent_rows
-        )
+        centroids = _fixed_codebook(embeddings, "embedding", n_cells)
     corpus = ivf_assign(embeddings, "embedding", centroids, n_probe=1)
     probed = ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
     return _topk_within_cells(corpus, probed, k)
+
+
+def _fixed_codebook(
+    embeddings: DataFrame, vec_col: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """Untrained fallback codebook: the embeddings of vec_ids 0..n_cells-1.
+    sorted: ivf_assign's tie-break resolves to the SMALLER cell, which
+    assumes a cell-ascending centroid list — collect() order is
+    partition-dependent (review r6b). Strict like train_ivf_codebook's
+    init (review r6c): a sparse-low-id corpus would silently produce a
+    smaller codebook than the caller asked for."""
+    cent_rows = (
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    codebook = sorted((int(r["vec_id"]), list(r[vec_col])) for r in cent_rows)
+    if len(codebook) != n_cells:
+        raise ValueError(
+            f"fixed codebook init found {len(codebook)} centroids but "
+            f"n_cells={n_cells}; ids 0..n_cells-1 must exist (train on a "
+            "corpus with dense low vec_ids, or lower n_cells)"
+        )
+    return codebook
 
 
 def _topk_within_cells(corpus: DataFrame, probed: DataFrame, k: int) -> DataFrame:
@@ -458,9 +472,21 @@ def build_ivf_index(
     ivf_topk cannot give. The codebook is built once (trained or fixed,
     identical recipes to ivf_topk), every corpus vector is assigned to its
     nearest cell in ONE scan, and the corpus is written PARTITIONED BY
-    CELL inside a committed epoch dir (`corpus/epoch=base/cell=N/...`,
-    `_SUCCESS`-gated) with the codebook alongside as JSON; later
-    append_ivf_epoch generations extend the corpus idempotently.
+    CELL inside a committed epoch dir (`cell=N/...`, `_SUCCESS`-gated)
+    with the codebook alongside as JSON; later append_ivf_epoch
+    generations extend the corpus idempotently.
+
+    Each (re)build writes a fully-formed GENERATION dir —
+    `<path>/gen=N/{codebook.json, corpus/epoch=base/...}` — and only then
+    atomically flips `<path>/_manifest.json` to point at it (review r6c:
+    publishing corpus and codebook as two separate steps into one live
+    dir left a crash window where a committed new corpus paired with the
+    old codebook — silently wrong neighbors; and a rebuild into a dir
+    holding appended epochs left the stale old-codebook epochs visible).
+    The corpus/codebook pair is therefore always consistent, a rebuild
+    starts from a clean corpus, and readers that resolved the manifest
+    keep a stable snapshot while a rebuild runs. The previous generation
+    is kept for such in-flight readers; older ones are swept.
 
     Why this matters at 100 TB: ivf_topk re-assigns the whole corpus on
     every call — fine for one query batch, absurd for a query service.
@@ -476,42 +502,76 @@ def build_ivf_index(
     covers both."""
     import json
     import os
+    import shutil
 
     if codebook is not None:
         # caller-supplied (e.g. already trained once for several indexes);
         # same literal-codebook contract as ivf_topk(codebook=...)
         codebook = [(int(c), list(v)) for c, v in codebook]
+        if len(codebook) != int(n_cells):
+            raise ValueError(
+                f"supplied codebook has {len(codebook)} cells, n_cells={n_cells}"
+            )
     elif train_iters:
         codebook = train_ivf_codebook(
             embeddings, vec_col, n_cells=n_cells, n_iter=train_iters
         )
     else:
-        cent_rows = (
-            embeddings.filter(F.col("vec_id") < n_cells)
-            .select("vec_id", vec_col)
-            .collect()
-        )
-        codebook = sorted(
-            (int(r["vec_id"]), list(r[vec_col])) for r in cent_rows
-        )
-    _write_index_epoch(
-        embeddings, codebook, vec_col,
-        os.path.join(path, "corpus", "epoch=base"),
-        n_cells, files_per_cell,
-    )
-    # atomic codebook publish: readers either see the old complete file or
-    # the new complete file, never a partial write
+        codebook = _fixed_codebook(embeddings, vec_col, n_cells)
+
+    prev_gen = _current_generation(path)
+    gen = (prev_gen or 0) + 1
+    gen_dir = os.path.join(path, f"gen={gen:08d}")
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)  # crashed prior attempt at this generation
     meta = {
         "n_cells": int(n_cells),
         "train_iters": int(train_iters),
         "vec_col": vec_col,
         "codebook": [[int(c), [float(x) for x in v]] for c, v in codebook],
     }
-    tmp = os.path.join(path, "_codebook.json.tmp")
-    with open(tmp, "w") as f:
+    os.makedirs(gen_dir)
+    with open(os.path.join(gen_dir, "codebook.json"), "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "codebook.json"))
+    _write_index_epoch(
+        embeddings, codebook, vec_col,
+        os.path.join(gen_dir, "corpus", "epoch=base"),
+        n_cells, files_per_cell,
+    )
+    # the atomic publish: the generation becomes live only here, complete
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen}, f)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    # keep gen-1 for in-flight readers; sweep anything older
+    for d in os.listdir(path):
+        if d.startswith("gen="):
+            g = int(d.split("=", 1)[1])
+            if g < gen - 1:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return codebook
+
+
+def _current_generation(path: str) -> int | None:
+    """Live generation number from the atomically-published manifest, or
+    None for an empty/new index path."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, "_manifest.json")) as f:
+            return int(json.load(f)["generation"])
+    except FileNotFoundError:
+        return None
+
+
+def _gen_dir(path: str) -> str:
+    import os
+
+    gen = _current_generation(path)
+    if gen is None:
+        raise FileNotFoundError(f"no published index generation under {path!r}")
+    return os.path.join(path, f"gen={gen:08d}")
 
 
 def _write_index_epoch(
@@ -561,7 +621,12 @@ def append_ivf_epoch(
     caller's dedup story, e.g. dedup_exact upstream, owns identity). The
     codebook is NOT retrained; if the delta's distribution drifts from
     the codebook's, recall decays and the answer is a full
-    build_ivf_index rebuild — same trade as any IVF system."""
+    build_ivf_index rebuild — same trade as any IVF system.
+
+    Epochs live INSIDE the live generation, so epoch commit markers are
+    per-generation: replaying epoch E after a rebuild appends it to the
+    fresh generation (correct — the new codebook re-assigns it), while a
+    replay within one generation stays a no-op."""
     import json
     import os
     import re
@@ -571,10 +636,11 @@ def append_ivf_epoch(
         raise ValueError(
             f"epoch must be [A-Za-z0-9_-]+ and not the reserved 'base': {epoch!r}"
         )
-    with open(os.path.join(path, "codebook.json")) as f:
+    gen_dir = _gen_dir(path)
+    with open(os.path.join(gen_dir, "codebook.json")) as f:
         meta = json.load(f)
     codebook = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
-    epoch_dir = os.path.join(path, "corpus", f"epoch={epoch}")
+    epoch_dir = os.path.join(gen_dir, "corpus", f"epoch={epoch}")
     if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
         return False  # committed replay — exactly-once no-op
     if os.path.exists(epoch_dir):
@@ -614,18 +680,24 @@ def ivf_topk_indexed(
     scan as a static `cell IN (...)` partition filter, so only the probed
     `cell=N/` directories are ever opened; scoring is the shared broadcast
     join + vectorized cosine. JSON float round-trip is exact (repr), so
-    results match ivf_topk with the same parameters bit-for-bit."""
+    results match ivf_topk with the same parameters bit-for-bit.
+
+    The live generation is resolved ONCE here, so the whole query plan
+    (codebook + corpus scan) is a consistent snapshot even if a rebuild
+    publishes a new generation while this query runs (the previous
+    generation is retained exactly for such in-flight readers)."""
     import json
     import os
 
-    with open(os.path.join(path, "codebook.json")) as f:
+    gen_dir = _gen_dir(path)
+    with open(os.path.join(gen_dir, "codebook.json")) as f:
         meta = json.load(f)
     codebook = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
     probed = ivf_assign(queries, "q_embedding", codebook, n_probe=n_probe)
     probed_cells = sorted(
         int(r["cell"]) for r in probed.select("cell").distinct().collect()
     )
-    corpus_root = os.path.join(path, "corpus")
+    corpus_root = os.path.join(gen_dir, "corpus")
     epochs = _committed_index_epochs(corpus_root)
     if not epochs:
         raise FileNotFoundError(f"no committed index epochs under {corpus_root}")

@@ -442,7 +442,7 @@ def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     )
     idx = str(tmp_path / "ivf")
     S.build_ivf_index(embs, idx, n_cells=8, train_iters=3)
-    base = os.path.join(idx, "corpus", "epoch=base")
+    base = os.path.join(S._gen_dir(idx), "corpus", "epoch=base")
     n_cell_dirs = len([d for d in os.listdir(base) if d.startswith("cell=")])
     assert n_cell_dirs > 2  # the index actually fanned out
     # small-files guard: the clustered write lands ~files_per_cell (=1)
@@ -508,8 +508,8 @@ def test_ivf_append_epoch_grows_index_idempotently(spark, sf_dir, tmp_path):
     )
 
     # crashed half-write: epoch dir without _SUCCESS must be invisible...
-    crashed = os.path.join(idx, "corpus", "epoch=e0002")
-    src = os.path.join(idx, "corpus", "epoch=e0001")
+    crashed = os.path.join(S._gen_dir(idx), "corpus", "epoch=e0002")
+    src = os.path.join(S._gen_dir(idx), "corpus", "epoch=e0001")
     shutil.copytree(src, crashed)
     os.remove(os.path.join(crashed, "_SUCCESS"))
     assert (
@@ -533,3 +533,73 @@ def test_ivf_append_epoch_grows_index_idempotently(spark, sf_dir, tmp_path):
         S.append_ivf_epoch(delta, idx, "base")
     with _pytest.raises(ValueError):
         S.append_ivf_epoch(delta, idx, "../evil")
+
+
+def test_ivf_rebuild_publishes_consistent_generation(spark, sf_dir, tmp_path):
+    """A rebuild writes a complete gen=N dir (codebook + corpus together)
+    and only then flips the manifest: the codebook/corpus pair is always
+    consistent, a rebuild drops previously-appended epochs (clean corpus),
+    a crashed rebuild attempt is invisible, the previous generation is
+    retained for in-flight readers and older generations are swept."""
+    import json
+    import os
+
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = embs.filter(F.col("vec_id") < 300)
+    delta = embs.filter(F.col("vec_id") >= 300)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    cb = S.build_ivf_index(base, idx, n_cells=8, train_iters=3)
+    assert S._current_generation(idx) == 1
+    S.append_ivf_epoch(delta, idx, "e0001")
+
+    # rebuild over the FULL corpus: gen flips to 2, the appended epoch of
+    # gen 1 is not part of the fresh corpus, and results equal a direct
+    # full-corpus query with the gen-2 codebook
+    cb2 = S.build_ivf_index(embs, idx, n_cells=8, train_iters=3)
+    assert S._current_generation(idx) == 2
+    assert os.path.isdir(os.path.join(idx, "gen=00000001"))  # in-flight readers
+    got = sorted(
+        map(tuple, S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2, codebook=cb2).collect(),
+        )
+    )
+    assert got == want
+
+    # crashed rebuild attempt: a gen=3 dir exists but the manifest never
+    # flipped — readers still resolve gen 2 and a replayed epoch lands in 2
+    crashed = os.path.join(idx, "gen=00000003")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "codebook.json"), "w") as f:
+        json.dump({"partial": True}, f)
+    assert S._current_generation(idx) == 2
+    assert S.append_ivf_epoch(delta.limit(0), idx, "e0002") is True
+    assert os.path.exists(
+        os.path.join(idx, "gen=00000002", "corpus", "epoch=e0002", "_SUCCESS")
+    )
+
+    # the next build retries gen 3 from clean and sweeps gen 1
+    cb3 = S.build_ivf_index(base, idx, n_cells=8, codebook=cb)
+    assert cb3 == cb
+    assert S._current_generation(idx) == 3
+    assert not os.path.isdir(os.path.join(idx, "gen=00000001"))
+    assert os.path.isdir(os.path.join(idx, "gen=00000002"))
+    # gen 3 is the crashed dir name reborn — now complete and live
+    got3 = sorted(
+        map(tuple, S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect())
+    )
+    want3 = sorted(
+        map(
+            tuple,
+            S.ivf_topk(base, queries, k=5, n_cells=8, n_probe=2, codebook=cb).collect(),
+        )
+    )
+    assert got3 == want3
