@@ -519,37 +519,101 @@ def build_ivf_index(
     else:
         codebook = _fixed_codebook(embeddings, vec_col, n_cells)
 
-    prev_gen = _current_generation(path)
-    gen = (prev_gen or 0) + 1
-    gen_dir = os.path.join(path, f"gen={gen:08d}")
-    if os.path.exists(gen_dir):
-        shutil.rmtree(gen_dir)  # crashed prior attempt at this generation
     meta = {
         "n_cells": int(n_cells),
         "train_iters": int(train_iters),
         "vec_col": vec_col,
         "codebook": [[int(c), [float(x) for x in v]] for c, v in codebook],
     }
+    lock_fd = _index_lock(path, blocking=True)
+    try:
+        gen, gen_dir = _allocate_generation(path)
+        with open(os.path.join(gen_dir, "codebook.json"), "w") as f:
+            json.dump(meta, f)
+        _write_index_epoch(
+            embeddings, codebook, vec_col,
+            os.path.join(gen_dir, "corpus", "epoch=base"),
+            n_cells, files_per_cell,
+        )
+        _publish_generation(path, gen)
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)
+    return codebook
+
+
+def _allocate_generation(path: str) -> tuple[int, str]:
+    """Next generation number + a CLEAN empty dir for it (a crashed prior
+    attempt at the same number is removed). Caller must hold the index
+    lock."""
+    import os
+    import shutil
+
+    gen = (_current_generation(path) or 0) + 1
+    gen_dir = os.path.join(path, f"gen={gen:08d}")
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)
     os.makedirs(gen_dir)
-    with open(os.path.join(gen_dir, "codebook.json"), "w") as f:
-        json.dump(meta, f)
-    _write_index_epoch(
-        embeddings, codebook, vec_col,
-        os.path.join(gen_dir, "corpus", "epoch=base"),
-        n_cells, files_per_cell,
-    )
-    # the atomic publish: the generation becomes live only here, complete
+    return gen, gen_dir
+
+
+def _publish_generation(path: str, gen: int) -> None:
+    """The atomic publish: flip `_manifest.json` to the fully-written
+    generation, keep gen-1 for in-flight readers, sweep anything older."""
+    import json
+    import os
+    import shutil
+
     tmp = os.path.join(path, "_manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"generation": gen}, f)
     os.replace(tmp, os.path.join(path, "_manifest.json"))
-    # keep gen-1 for in-flight readers; sweep anything older
     for d in os.listdir(path):
         if d.startswith("gen="):
             g = int(d.split("=", 1)[1])
             if g < gen - 1:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    return codebook
+
+
+def _index_lock(path: str, blocking: bool):
+    """Exclusive advisory `flock` on `<path>/_index.lock` serializing index
+    MAINTAINERS (build / append / compact) against each other. Readers
+    never take it — they get snapshot isolation from the retained previous
+    generation. Same protocol as the sink's `_compact.lock`
+    (streaming/sinks.py): atomic acquisition, kernel-released on crash,
+    nothing to heartbeat. Returns an open fd to close-to-release, None if
+    a non-blocking attempt found another maintainer, and on a broken lock
+    facility (ENOLCK-class) proceeds unlocked with a warning — same
+    single-maintainer deployment caveat as the sink (README ops note).
+
+    Why maintainers must serialize: compaction folds the COMMITTED epoch
+    list it snapshotted — an epoch committed by a concurrent append after
+    that snapshot would be absent from the fold yet marked superseded by
+    the manifest flip (silent row loss); and two maintainers allocating
+    the same next-generation number would rmtree each other's in-progress
+    dir."""
+    import errno
+    import fcntl
+    import os
+    import warnings
+
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, "_index.lock"), os.O_CREAT | os.O_RDWR)
+    flags = fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
+    try:
+        fcntl.flock(fd, flags)
+    except BlockingIOError:
+        os.close(fd)
+        return None
+    except OSError as e:
+        warnings.warn(
+            f"ivf index: flock unavailable on {path!r} ({e}); proceeding "
+            "without the advisory lock — ensure only ONE maintainer "
+            "(build/append/compact) runs against this index",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return fd
 
 
 def _current_generation(path: str) -> int | None:
@@ -592,11 +656,17 @@ def _write_index_epoch(
     files_per_cell for huge cells — the deterministic vec_id salt
     splits a cell across exactly that many writers."""
     assigned = ivf_assign(vectors, vec_col, codebook, n_probe=1)
+    _clustered_cell_write(assigned, epoch_dir, n_cells, files_per_cell)
+
+
+def _clustered_cell_write(
+    assigned: DataFrame, epoch_dir: str, n_cells: int, files_per_cell: int
+) -> None:
     salt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(int(files_per_cell)))
-    assigned = assigned.repartition(
+    clustered = assigned.repartition(
         int(n_cells) * int(files_per_cell), F.col("cell"), salt
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(epoch_dir)
+    clustered.write.mode("overwrite").partitionBy("cell").parquet(epoch_dir)
 
 
 def append_ivf_epoch(
@@ -626,7 +696,9 @@ def append_ivf_epoch(
     Epochs live INSIDE the live generation, so epoch commit markers are
     per-generation: replaying epoch E after a rebuild appends it to the
     fresh generation (correct — the new codebook re-assigns it), while a
-    replay within one generation stays a no-op."""
+    replay within one generation stays a no-op — including after
+    compact_ivf_index folded it into the base (the fold records absorbed
+    epoch ids). Serializes with other maintainers on _index_lock."""
     import json
     import os
     import re
@@ -636,20 +708,30 @@ def append_ivf_epoch(
         raise ValueError(
             f"epoch must be [A-Za-z0-9_-]+ and not the reserved 'base': {epoch!r}"
         )
-    gen_dir = _gen_dir(path)
-    with open(os.path.join(gen_dir, "codebook.json")) as f:
-        meta = json.load(f)
-    codebook = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
-    epoch_dir = os.path.join(gen_dir, "corpus", f"epoch={epoch}")
-    if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
-        return False  # committed replay — exactly-once no-op
-    if os.path.exists(epoch_dir):
-        shutil.rmtree(epoch_dir)  # crashed half-write — retry from clean
-    _write_index_epoch(
-        delta, codebook, meta["vec_col"], epoch_dir,
-        int(meta["n_cells"]), files_per_cell,
-    )
-    return True
+    lock_fd = _index_lock(path, blocking=True)
+    try:
+        gen_dir = _gen_dir(path)
+        with open(os.path.join(gen_dir, "codebook.json")) as f:
+            meta = json.load(f)
+        codebook = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
+        if epoch in meta.get("folded_epochs", []):
+            # this epoch's rows were absorbed into the compacted base —
+            # a replay after compaction must stay a no-op (exactly-once
+            # survives the fold)
+            return False
+        epoch_dir = os.path.join(gen_dir, "corpus", f"epoch={epoch}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            return False  # committed replay — exactly-once no-op
+        if os.path.exists(epoch_dir):
+            shutil.rmtree(epoch_dir)  # crashed half-write — retry from clean
+        _write_index_epoch(
+            delta, codebook, meta["vec_col"], epoch_dir,
+            int(meta["n_cells"]), files_per_cell,
+        )
+        return True
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)
 
 
 def _committed_index_epochs(corpus_root: str) -> list[str]:
@@ -663,6 +745,70 @@ def _committed_index_epochs(corpus_root: str) -> list[str]:
         if d.startswith("epoch=")
         and os.path.exists(os.path.join(corpus_root, d, "_SUCCESS"))
     ]
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    files_per_cell: int = 1,
+) -> bool:
+    """Fold all committed epochs of the live generation back into a single
+    clustered `epoch=base` — the index-side analog of the sink's epoch
+    compaction. Every `append_ivf_epoch` adds ~one parquet file per cell,
+    so a long-lived index accretes epochs×cells small files and every
+    probed-cell read opens epochs× more files than it needs; the fold
+    restores the freshly-built layout (~files_per_cell files per cell)
+    WITHOUT touching the codebook or re-assigning anything — rows are read
+    back with their stored `cell` and only rewritten clustered.
+
+    Publishes as a new generation (same codebook, folded corpus, atomic
+    manifest flip), so it inherits the build path's crash safety: a
+    crashed fold leaves the old generation live and is retried clean.
+    The folded epoch ids are recorded in the new generation's metadata so
+    a REPLAY of an absorbed epoch remains a no-op (exactly-once survives
+    the fold). Maintainers serialize on `_index_lock` — a fold that
+    missed a concurrently-committed epoch would silently drop its rows;
+    this call takes the lock non-blocking and returns False if another
+    maintainer is active (skip this pass, like the sink compactor).
+
+    Returns True iff a fold was published (False: nothing to fold or
+    lock held)."""
+    import json
+    import os
+
+    lock_fd = _index_lock(path, blocking=False)
+    if lock_fd is None:
+        return False
+    try:
+        gen_dir = _gen_dir(path)
+        with open(os.path.join(gen_dir, "codebook.json")) as f:
+            meta = json.load(f)
+        corpus_root = os.path.join(gen_dir, "corpus")
+        epochs = _committed_index_epochs(corpus_root)
+        extra = [e for e in epochs if os.path.basename(e) != "epoch=base"]
+        if not extra:
+            return False  # already a single base — nothing to fold
+        union = spark.read.option("basePath", corpus_root).parquet(*epochs)
+        union = union.drop("epoch") if "epoch" in union.columns else union
+        meta = dict(meta)
+        meta["folded_epochs"] = sorted(
+            set(meta.get("folded_epochs", []))
+            | {os.path.basename(e).split("=", 1)[1] for e in extra}
+        )
+        gen, new_dir = _allocate_generation(path)
+        with open(os.path.join(new_dir, "codebook.json"), "w") as f:
+            json.dump(meta, f)
+        _clustered_cell_write(
+            union,
+            os.path.join(new_dir, "corpus", "epoch=base"),
+            int(meta["n_cells"]),
+            files_per_cell,
+        )
+        _publish_generation(path, gen)
+        return True
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)
 
 
 def ivf_topk_indexed(

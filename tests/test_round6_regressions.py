@@ -535,6 +535,82 @@ def test_ivf_append_epoch_grows_index_idempotently(spark, sf_dir, tmp_path):
         S.append_ivf_epoch(delta, idx, "../evil")
 
 
+def test_ivf_compact_folds_epochs_exactly_once(spark, sf_dir, tmp_path):
+    """compact_ivf_index folds appended epochs back into one clustered
+    epoch=base as a NEW generation: results unchanged, small files gone,
+    replay of a folded epoch stays a no-op, appends keep working after
+    the fold, and a held maintenance lock skips the pass."""
+    import glob
+    import json
+    import os
+
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(embs.filter(F.col("vec_id") < 300), idx, n_cells=8, train_iters=3)
+    assert S.append_ivf_epoch(
+        embs.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), idx, "e0001"
+    )
+    assert S.append_ivf_epoch(embs.filter(F.col("vec_id") >= 400), idx, "e0002")
+    before = sorted(
+        map(tuple, S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect())
+    )
+    files_before = len(
+        glob.glob(os.path.join(S._gen_dir(idx), "corpus", "epoch=*", "cell=*", "*.parquet"))
+    )
+
+    assert S.compact_ivf_index(spark, idx) is True
+    assert S._current_generation(idx) == 2
+    gen2 = S._gen_dir(idx)
+    # one committed base epoch, ~1 file per cell, no stray epochs
+    assert [os.path.basename(e) for e in S._committed_index_epochs(
+        os.path.join(gen2, "corpus"))] == ["epoch=base"]
+    files_after = len(
+        glob.glob(os.path.join(gen2, "corpus", "epoch=base", "cell=*", "*.parquet"))
+    )
+    assert files_after < files_before, (files_after, files_before)
+    after = sorted(
+        map(tuple, S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect())
+    )
+    assert after == before
+    with open(os.path.join(gen2, "codebook.json")) as f:
+        assert json.load(f)["folded_epochs"] == ["e0001", "e0002"]
+
+    # replay of an absorbed epoch: no-op — exactly-once survives the fold
+    assert S.append_ivf_epoch(embs.filter(F.col("vec_id") >= 400), idx, "e0002") is False
+    assert (
+        sorted(
+            map(
+                tuple,
+                S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2).collect(),
+            )
+        )
+        == before
+    )
+
+    # nothing left to fold
+    assert S.compact_ivf_index(spark, idx) is False
+
+    # appends keep working post-fold (fresh epoch id)
+    assert S.append_ivf_epoch(embs.limit(0), idx, "e0003") is True
+    assert S.compact_ivf_index(spark, idx) is True  # folds e0003 (empty)
+    assert S._current_generation(idx) == 3
+
+    # a held maintenance lock makes the pass a no-op skip
+    import fcntl
+
+    fd = os.open(os.path.join(idx, "_index.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        assert S.compact_ivf_index(spark, idx) is False
+    finally:
+        os.close(fd)
+
+
 def test_ivf_rebuild_publishes_consistent_generation(spark, sf_dir, tmp_path):
     """A rebuild writes a complete gen=N dir (codebook + corpus together)
     and only then flips the manifest: the codebook/corpus pair is always
