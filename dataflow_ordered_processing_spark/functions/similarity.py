@@ -399,7 +399,7 @@ def ivf_topk(
         # precomputed centroids (review r6: sweeps that score AND count
         # candidates for the same config were re-training identical
         # codebooks); train_iters/n_cells describe how the caller built it
-        centroids = codebook
+        centroids = _normalize_codebook(codebook)
     elif train_iters:
         centroids = train_ivf_codebook(
             embeddings, "embedding", n_cells=n_cells, n_iter=train_iters
@@ -409,6 +409,22 @@ def ivf_topk(
     corpus = ivf_assign(embeddings, "embedding", centroids, n_probe=1)
     probed = ivf_assign(queries, "q_embedding", centroids, n_probe=n_probe)
     return _topk_within_cells(corpus, probed, k)
+
+
+def _normalize_codebook(
+    codebook: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[float]]]:
+    """Coerce + SORT a caller-supplied codebook cell-ascending and reject
+    duplicate cell ids. ivf_assign's argmax tie-break resolves to the
+    earlier LIST POSITION; every internal codebook builder sorts so that
+    position order == cell-id order (ties go to the smaller cell, which
+    is what the SQL oracle computes). A caller passing their own
+    unsorted collect() output would otherwise get run-dependent
+    assignments for coincident centroids (review r6d)."""
+    norm = sorted((int(c), list(v)) for c, v in codebook)
+    if len({c for c, _ in norm}) != len(norm):
+        raise ValueError("codebook has duplicate cell ids")
+    return norm
 
 
 def _fixed_codebook(
@@ -467,6 +483,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     codebook: list[tuple[int, list[float]]] | None = None,
     files_per_cell: int = 1,
+    keep_generations: int = 1,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index ON DISK — the deployment shape per-call
     ivf_topk cannot give. The codebook is built once (trained or fixed,
@@ -507,7 +524,7 @@ def build_ivf_index(
     if codebook is not None:
         # caller-supplied (e.g. already trained once for several indexes);
         # same literal-codebook contract as ivf_topk(codebook=...)
-        codebook = [(int(c), list(v)) for c, v in codebook]
+        codebook = _normalize_codebook(codebook)
         if len(codebook) != int(n_cells):
             raise ValueError(
                 f"supplied codebook has {len(codebook)} cells, n_cells={n_cells}"
@@ -535,7 +552,7 @@ def build_ivf_index(
             os.path.join(gen_dir, "corpus", "epoch=base"),
             n_cells, files_per_cell,
         )
-        _publish_generation(path, gen)
+        _publish_generation(path, gen, keep=keep_generations)
     finally:
         if lock_fd is not None:
             os.close(lock_fd)
@@ -557,9 +574,15 @@ def _allocate_generation(path: str) -> tuple[int, str]:
     return gen, gen_dir
 
 
-def _publish_generation(path: str, gen: int) -> None:
+def _publish_generation(path: str, gen: int, keep: int = 1) -> None:
     """The atomic publish: flip `_manifest.json` to the fully-written
-    generation, keep gen-1 for in-flight readers, sweep anything older."""
+    generation, keep the previous `keep` generations for in-flight
+    readers, sweep anything older. keep=1 suffices when a reader never
+    spans more than one maintainer publish; a query service with slow
+    scans over a busy append+compact cadence should size keep to
+    (max reader duration / min publish interval) — retention is the ONLY
+    thing protecting a resolved-but-still-scanning generation (review
+    r6d)."""
     import json
     import os
     import shutil
@@ -571,7 +594,7 @@ def _publish_generation(path: str, gen: int) -> None:
     for d in os.listdir(path):
         if d.startswith("gen="):
             g = int(d.split("=", 1)[1])
-            if g < gen - 1:
+            if g < gen - int(keep):
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
@@ -592,28 +615,18 @@ def _index_lock(path: str, blocking: bool):
     the manifest flip (silent row loss); and two maintainers allocating
     the same next-generation number would rmtree each other's in-progress
     dir."""
-    import errno
-    import fcntl
     import os
-    import warnings
+
+    from ..locking import try_flock
 
     os.makedirs(path, exist_ok=True)
-    fd = os.open(os.path.join(path, "_index.lock"), os.O_CREAT | os.O_RDWR)
-    flags = fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
-    try:
-        fcntl.flock(fd, flags)
-    except BlockingIOError:
-        os.close(fd)
-        return None
-    except OSError as e:
-        warnings.warn(
-            f"ivf index: flock unavailable on {path!r} ({e}); proceeding "
-            "without the advisory lock — ensure only ONE maintainer "
-            "(build/append/compact) runs against this index",
-            RuntimeWarning,
-            stacklevel=3,
-        )
-    return fd
+    return try_flock(
+        os.path.join(path, "_index.lock"),
+        blocking=blocking,
+        what="ivf index",
+        advice="ensure only ONE maintainer (build/append/compact) runs "
+        "against this index",
+    )
 
 
 def _current_generation(path: str) -> int | None:
@@ -751,6 +764,7 @@ def compact_ivf_index(
     spark,
     path: str,
     files_per_cell: int = 1,
+    keep_generations: int = 1,
 ) -> bool:
     """Fold all committed epochs of the live generation back into a single
     clustered `epoch=base` — the index-side analog of the sink's epoch
@@ -804,7 +818,7 @@ def compact_ivf_index(
             int(meta["n_cells"]),
             files_per_cell,
         )
-        _publish_generation(path, gen)
+        _publish_generation(path, gen, keep=keep_generations)
         return True
     finally:
         if lock_fd is not None:
@@ -840,9 +854,15 @@ def ivf_topk_indexed(
         meta = json.load(f)
     codebook = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
     probed = ivf_assign(queries, "q_embedding", codebook, n_probe=n_probe)
-    probed_cells = sorted(
-        int(r["cell"]) for r in probed.select("cell").distinct().collect()
-    )
+    # evaluate the query-side assignment ONCE: the collected rows feed both
+    # the static partition filter and (as a local relation) the scoring
+    # join — without this the unpersisted `probed` lineage re-ran the
+    # whole query pipeline a second time inside _topk_within_cells,
+    # doubling per-call query-side latency for exactly the many-small-
+    # batches service shape this function exists for (review r6d)
+    probed_rows = probed.collect()
+    probed_cells = sorted({int(r["cell"]) for r in probed_rows})
+    probed = spark.createDataFrame(probed_rows, probed.schema)
     corpus_root = os.path.join(gen_dir, "corpus")
     epochs = _committed_index_epochs(corpus_root)
     if not epochs:

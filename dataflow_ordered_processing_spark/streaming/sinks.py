@@ -599,14 +599,18 @@ def _dir_bytes(paths: list[str]) -> int:
     return total
 
 
-# Sink bases whose first committed dir carried the unified row_type schema —
-# per-process memo so the foreachBatch compaction path sniffs each sink's
-# parquet footer once, not per micro-batch (review r6). Keyed realpath →
-# base-dir inode: a verdict only replays onto the SAME directory — if the
-# sink is torn down and the path recreated (possibly as a raw channel), the
-# inode differs and the sniff runs again (review r6b: a path-only memo
-# would let a stale verdict bypass the guard).
-_UNIFIED_LAYOUT_OK: dict[str, int] = {}
+# Marker filename recording that a sink's committed dirs carry the unified
+# row_type schema, written into the sink base after a positive footer
+# sniff. The foreachBatch compaction path then pays one stat per
+# micro-batch instead of a parquet footer read. On DISK rather than a
+# per-process memo (review r6d): the r6b inode-keyed dict could be
+# defeated by inode recycling (sink torn down, an older-build raw writer
+# recreates the path, ext4/xfs reissues the freed inode → a stale unified
+# verdict skips the sniff) — a recreated directory never contains this
+# marker, so the sniff re-runs; and the verdict survives process
+# restarts. The explicit `_raw_channel` marker is still checked FIRST on
+# every call, so marker-writing raw channels are refused regardless.
+_UNIFIED_OK_MARKER = "_unified_ok"
 
 
 def compact_data_epochs(
@@ -642,32 +646,24 @@ def compact_data_epochs(
     fold), and there is nothing to heartbeat. Local/NFSv4 filesystems
     only — on object-store sinks coordinate compaction externally (the
     same scope as every marker file in this module)."""
-    import fcntl
     import shutil
     import time
 
-    os.makedirs(base, exist_ok=True)
-    lock_fd = os.open(os.path.join(base, "_compact.lock"), os.O_CREAT | os.O_RDWR)
-    try:
-        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except BlockingIOError:
-        os.close(lock_fd)
-        return 0  # another compactor is active — skip this pass
-    except OSError as e:
-        # locking UNAVAILABLE (e.g. ENOLCK: NFS without a lock manager) is
-        # not contention — returning 0 forever would silently disable
-        # compaction and let epoch dirs grow without bound (review r5d #1).
-        # Proceed UNLOCKED with a warning: that is exactly the pre-lock
-        # behavior, safe for the normal single-compactor deployment.
-        import warnings
+    from ..locking import try_flock
 
-        warnings.warn(
-            f"compact_data_epochs: flock unavailable on {base!r} ({e}); "
-            "proceeding without the advisory lock — ensure only ONE "
-            "compactor runs against this sink",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+    os.makedirs(base, exist_ok=True)
+    # non-blocking: contention means another compactor is active — skip
+    # this pass. A broken lock facility (ENOLCK) proceeds unlocked with a
+    # warning instead of silently disabling compaction forever (r5d #1);
+    # the protocol lives in locking.try_flock, shared with the IVF index.
+    lock_fd = try_flock(
+        os.path.join(base, "_compact.lock"),
+        blocking=False,
+        what="compact_data_epochs",
+        advice="ensure only ONE compactor runs against this sink",
+    )
+    if lock_fd is None:
+        return 0
 
     folds = 0
     try:
@@ -688,9 +684,7 @@ def compact_data_epochs(
                 "then delete them. Raw channels are ordered+drained by the "
                 "hot-key pass (streaming/hotkey.py), never compacted."
             )
-        real = os.path.realpath(base)
-        base_ino = os.stat(real).st_ino
-        if _UNIFIED_LAYOUT_OK.get(real) != base_ino:
+        if not os.path.exists(os.path.join(base, _UNIFIED_OK_MARKER)):
             probe = _sink_entries(base)
             if probe and "row_type" not in spark.read.parquet(probe[0][3]).columns:
                 raise ValueError(
@@ -701,7 +695,8 @@ def compact_data_epochs(
                     "(streaming/hotkey.py), never compacted."
                 )
             if probe:
-                _UNIFIED_LAYOUT_OK[real] = base_ino
+                with open(os.path.join(base, _UNIFIED_OK_MARKER), "w"):
+                    pass
         while True:
             entries = _sink_entries(base)
             idx = _cover_index(entries)
@@ -749,8 +744,16 @@ def compact_data_epochs(
                 # tiebreak for equal status_ts (heartbeat + arrival in one
                 # wall-clock tick).
                 # NB: isin/== are three-valued — a NULL row_type must land
-                # on the "not status" (never-pruned) side, not vanish
+                # on the "not status" (never-pruned) side, not vanish.
+                # The data branch spells that as (!= OR isNull) rather than
+                # coalesce(~eq, true): simple predicates reach the parquet
+                # scan as PushedFilters, so the two union branches read
+                # complementary row groups of the (row_type-sorted) fold
+                # input instead of each re-reading all of it (review r6d)
                 is_status = F.col("row_type") == "status"
+                not_status = (F.col("row_type") != "status") | F.col(
+                    "row_type"
+                ).isNull()
                 wnd = Window.partitionBy("conv_id").orderBy(
                     F.desc("status_ts"),
                     F.desc("received_count"),
@@ -762,9 +765,7 @@ def compact_data_epochs(
                     .filter(F.col("_rk") <= int(status_keep_last))
                     .drop("_rk")
                 )
-                src = src.filter(F.coalesce(~is_status, F.lit(True))).unionByName(
-                    kept
-                )
+                src = src.filter(not_status).unionByName(kept)
             # Cluster the generation by key (VERDICT r5 #2 — the analog of
             # the reference clustering its BigQuery tables by key,
             # terraform/bigquery.tf:26,35,44): range-partition on conv_id

@@ -270,15 +270,21 @@ def test_compactor_refuses_marked_raw_channel_even_with_row_type(spark, tmp_path
     assert sk.read_raw(spark, raw).count() == 1
 
 
-def test_unified_sniff_cached_per_process(spark, tmp_path, monkeypatch):
+def test_unified_sniff_cached_on_disk(spark, tmp_path, monkeypatch):
     """Review r6: the raw-channel schema sniff ran a parquet footer read on
     EVERY compact_data_epochs call — per micro-batch on the streaming hot
-    path. A sink whose layout verified once must not be re-sniffed."""
+    path. The verified verdict is a durable `_unified_ok` marker (review
+    r6d: the earlier inode-keyed per-process memo could be defeated by
+    inode recycling after the sink dir is recreated) — so a verified sink
+    pays one stat per call, and a RECREATED dir has no marker and is
+    re-sniffed, refusing an old-build raw layout at the same path."""
+    import shutil
+
     path = os.path.join(str(tmp_path), "data")
     wb = sk.split_sink(sk.SinkConfig(data_path=path))
     wb(spark.createDataFrame([_data_row("c0", 1)], _UNIFIED_SCHEMA), 0)
     sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
-    assert os.path.realpath(path) in sk._UNIFIED_LAYOUT_OK
+    assert os.path.exists(os.path.join(path, sk._UNIFIED_OK_MARKER))
     calls = {"n": 0}
     real_entries = sk._sink_entries
 
@@ -290,6 +296,17 @@ def test_unified_sniff_cached_per_process(spark, tmp_path, monkeypatch):
     sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
     # the guard's probe listing is skipped; only the fold loop lists
     assert calls["n"] == 1
+    monkeypatch.undo()
+
+    # sink torn down; an OLD-BUILD raw writer (no _raw_channel marker)
+    # recreates the path — the fresh dir has no _unified_ok marker, so
+    # the sniff re-runs and refuses
+    shutil.rmtree(path)
+    spark.createDataFrame(
+        [("c0", 1)], "conv_id string, turn_idx long"
+    ).write.parquet(os.path.join(path, "epoch=0"))
+    with pytest.raises(ValueError, match="no\\s+row_type"):
+        sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
 
 
 def test_probe_masks_any_depth():
@@ -329,6 +346,22 @@ def test_train_ivf_codebook_empty_init_raises(spark):
     )
     with pytest.raises(ValueError, match="found 2 centroids"):
         S.train_ivf_codebook(emb2, "embedding", n_cells=8, n_iter=1)
+
+
+def test_caller_codebook_normalized_and_validated():
+    """Review r6d: a caller-supplied codebook must be sorted cell-ascending
+    (ivf_assign's tie-break resolves to the earlier list POSITION, and the
+    SQL oracle's tie-break is the smaller cell id) and duplicate cell ids
+    rejected — internal builders already guarantee both."""
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    assert S._normalize_codebook([(2, [0.0]), (0, [1.0]), (1, [2.0])]) == [
+        (0, [1.0]),
+        (1, [2.0]),
+        (2, [0.0]),
+    ]
+    with pytest.raises(ValueError, match="duplicate cell ids"):
+        S._normalize_codebook([(0, [1.0]), (0, [2.0])])
 
 
 def test_ivf_topk_codebook_override_matches_training(spark):
