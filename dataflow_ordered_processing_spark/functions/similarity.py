@@ -483,7 +483,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     codebook: list[tuple[int, list[float]]] | None = None,
     files_per_cell: int = 1,
-    keep_generations: int = 1,
+    keep_generations: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index ON DISK — the deployment shape per-call
     ivf_topk cannot give. The codebook is built once (trained or fixed,
@@ -574,7 +574,7 @@ def _allocate_generation(path: str) -> tuple[int, str]:
     return gen, gen_dir
 
 
-def _publish_generation(path: str, gen: int, keep: int = 1) -> None:
+def _publish_generation(path: str, gen: int, keep: int | None = None) -> None:
     """The atomic publish: flip `_manifest.json` to the fully-written
     generation, keep the previous `keep` generations for in-flight
     readers, sweep anything older. keep=1 suffices when a reader never
@@ -582,19 +582,33 @@ def _publish_generation(path: str, gen: int, keep: int = 1) -> None:
     scans over a busy append+compact cadence should size keep to
     (max reader duration / min publish interval) — retention is the ONLY
     thing protecting a resolved-but-still-scanning generation (review
-    r6d)."""
+    r6d).
+
+    Retention is INDEX STATE, not a per-call knob: the configured value
+    is stored in the manifest, and keep=None (every maintainer's
+    default) preserves it — otherwise a routine compact_ivf_index(path)
+    with a default argument would sweep the window a previous
+    build_ivf_index(..., keep_generations=3) configured out from under
+    its slow readers (review r6e)."""
     import json
     import os
     import shutil
 
+    if keep is None:
+        prev = _read_manifest(path)
+        keep = int(prev.get("keep_generations", 1)) if prev else 1
+    keep = int(keep)
+    if keep < 0:
+        # gen - (-1) sweeps the just-published generation itself (r6e)
+        raise ValueError(f"keep_generations must be >= 0, got {keep}")
     tmp = os.path.join(path, "_manifest.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"generation": gen}, f)
+        json.dump({"generation": gen, "keep_generations": keep}, f)
     os.replace(tmp, os.path.join(path, "_manifest.json"))
     for d in os.listdir(path):
         if d.startswith("gen="):
             g = int(d.split("=", 1)[1])
-            if g < gen - int(keep):
+            if g < gen - keep:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
@@ -629,17 +643,24 @@ def _index_lock(path: str, blocking: bool):
     )
 
 
-def _current_generation(path: str) -> int | None:
-    """Live generation number from the atomically-published manifest, or
-    None for an empty/new index path."""
+def _read_manifest(path: str) -> dict | None:
+    """The atomically-published manifest dict, or None for an empty/new
+    index path."""
     import json
     import os
 
     try:
         with open(os.path.join(path, "_manifest.json")) as f:
-            return int(json.load(f)["generation"])
+            return json.load(f)
     except FileNotFoundError:
         return None
+
+
+def _current_generation(path: str) -> int | None:
+    """Live generation number from the manifest, or None for an empty/new
+    index path."""
+    m = _read_manifest(path)
+    return int(m["generation"]) if m else None
 
 
 def _gen_dir(path: str) -> str:
@@ -764,7 +785,7 @@ def compact_ivf_index(
     spark,
     path: str,
     files_per_cell: int = 1,
-    keep_generations: int = 1,
+    keep_generations: int | None = None,
 ) -> bool:
     """Fold all committed epochs of the live generation back into a single
     clustered `epoch=base` — the index-side analog of the sink's epoch

@@ -599,18 +599,31 @@ def _dir_bytes(paths: list[str]) -> int:
     return total
 
 
-# Marker filename recording that a sink's committed dirs carry the unified
-# row_type schema, written into the sink base after a positive footer
-# sniff. The foreachBatch compaction path then pays one stat per
-# micro-batch instead of a parquet footer read. On DISK rather than a
-# per-process memo (review r6d): the r6b inode-keyed dict could be
-# defeated by inode recycling (sink torn down, an older-build raw writer
-# recreates the path, ext4/xfs reissues the freed inode → a stale unified
-# verdict skips the sniff) — a recreated directory never contains this
-# marker, so the sniff re-runs; and the verdict survives process
-# restarts. The explicit `_raw_channel` marker is still checked FIRST on
-# every call, so marker-writing raw channels are refused regardless.
-_UNIFIED_OK_MARKER = "_unified_ok"
+def _sniff_unified_layout(entries: list) -> bool:
+    """True iff the first committed dir holding a parquet file carries the
+    unified `row_type` schema; True when no parquet file exists yet
+    (nothing a fold could mis-handle).
+
+    STATELESS on purpose. The sniff originally ran `spark.read.parquet`
+    per compact_data_epochs call — a scheduled Spark job per 2 s
+    micro-batch — so r6 memoized the verdict, first in a per-process
+    inode-keyed dict (defeatable by inode recycling after the dir is
+    recreated — review r6d), then as an on-disk marker (stale if the sink
+    is emptied IN PLACE and an older-build raw writer reuses the path,
+    since the recreated epoch dir can reuse the witnessed name — review
+    r6e). Every cached variant re-opens a replay-stale-verdict hole;
+    reading ONE parquet footer with pyarrow is a few driver-local
+    milliseconds, cheap enough to pay on every call, and a fresh verdict
+    cannot be stale."""
+    import glob
+
+    import pyarrow.parquet as _papq
+
+    for e in entries:
+        part_files = sorted(glob.glob(os.path.join(e[3], "*.parquet")))
+        if part_files:
+            return "row_type" in _papq.ParquetFile(part_files[0]).schema_arrow.names
+    return True
 
 
 def compact_data_epochs(
@@ -673,10 +686,10 @@ def compact_data_epochs(
         # data loss. Two guards (review r6): the EXACT one is the
         # `_raw_channel` marker raw_passthrough_sink writes — it holds even
         # if a raw schema ever gains a row_type column. The schema sniff is
-        # the fallback for channels written by older builds; its positive
-        # (unified) verdict is cached per process so the per-micro-batch
-        # compaction call from split_sink pays the footer read once, not on
-        # every 2 s trigger.
+        # the fallback for channels written by older builds; it runs on
+        # EVERY call — a pyarrow footer read is driver-local milliseconds
+        # (see _sniff_unified_layout for why no cached variant survived
+        # review), so the 2 s foreachBatch cadence pays nothing material.
         if os.path.exists(os.path.join(base, "_raw_channel")):
             raise ValueError(
                 f"{base!r} is a raw passthrough channel (_raw_channel "
@@ -684,19 +697,14 @@ def compact_data_epochs(
                 "then delete them. Raw channels are ordered+drained by the "
                 "hot-key pass (streaming/hotkey.py), never compacted."
             )
-        if not os.path.exists(os.path.join(base, _UNIFIED_OK_MARKER)):
-            probe = _sink_entries(base)
-            if probe and "row_type" not in spark.read.parquet(probe[0][3]).columns:
-                raise ValueError(
-                    f"{base!r} looks like a raw passthrough channel (no "
-                    "row_type column) — compacting it would hide rows from "
-                    "read_raw and then delete them. Raw channels are "
-                    "ordered+drained by the hot-key pass "
-                    "(streaming/hotkey.py), never compacted."
-                )
-            if probe:
-                with open(os.path.join(base, _UNIFIED_OK_MARKER), "w"):
-                    pass
+        if not _sniff_unified_layout(_sink_entries(base)):
+            raise ValueError(
+                f"{base!r} looks like a raw passthrough channel (no "
+                "row_type column) — compacting it would hide rows from "
+                "read_raw and then delete them. Raw channels are "
+                "ordered+drained by the hot-key pass "
+                "(streaming/hotkey.py), never compacted."
+            )
         while True:
             entries = _sink_entries(base)
             idx = _cover_index(entries)

@@ -270,37 +270,49 @@ def test_compactor_refuses_marked_raw_channel_even_with_row_type(spark, tmp_path
     assert sk.read_raw(spark, raw).count() == 1
 
 
-def test_unified_sniff_cached_on_disk(spark, tmp_path, monkeypatch):
-    """Review r6: the raw-channel schema sniff ran a parquet footer read on
-    EVERY compact_data_epochs call — per micro-batch on the streaming hot
-    path. The verified verdict is a durable `_unified_ok` marker (review
-    r6d: the earlier inode-keyed per-process memo could be defeated by
-    inode recycling after the sink dir is recreated) — so a verified sink
-    pays one stat per call, and a RECREATED dir has no marker and is
-    re-sniffed, refusing an old-build raw layout at the same path."""
+def test_unified_sniff_stateless_and_fresh(spark, tmp_path, monkeypatch):
+    """Review r6/r6d/r6e lineage: the raw-channel schema sniff originally
+    ran a SPARK job per compact call (hot path); the memoized variants
+    that replaced it each re-opened a replay-stale-verdict hole (inode
+    recycling for the per-process dict; emptied-in-place reuse with a
+    same-name epoch dir for the on-disk witness marker). The sniff is now
+    STATELESS — one driver-local pyarrow footer read per call, never a
+    Spark job — so every layout change is seen by the very next call."""
     import shutil
 
     path = os.path.join(str(tmp_path), "data")
     wb = sk.split_sink(sk.SinkConfig(data_path=path))
     wb(spark.createDataFrame([_data_row("c0", 1)], _UNIFIED_SCHEMA), 0)
-    sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
-    assert os.path.exists(os.path.join(path, sk._UNIFIED_OK_MARKER))
-    calls = {"n": 0}
-    real_entries = sk._sink_entries
 
-    def counting_entries(base):
-        calls["n"] += 1
-        return real_entries(base)
+    # the sniff must not schedule Spark work: poison DataFrameReader for
+    # the guard's probe path by counting reads during a fold-less call
+    reads = {"n": 0}
+    real_sniff = sk._sniff_unified_layout
 
-    monkeypatch.setattr(sk, "_sink_entries", counting_entries)
+    def counting_sniff(entries):
+        reads["n"] += 1
+        return real_sniff(entries)
+
+    monkeypatch.setattr(sk, "_sniff_unified_layout", counting_sniff)
     sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
-    # the guard's probe listing is skipped; only the fold loop lists
-    assert calls["n"] == 1
+    sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
+    assert reads["n"] == 2  # stateless: runs every call
     monkeypatch.undo()
 
-    # sink torn down; an OLD-BUILD raw writer (no _raw_channel marker)
-    # recreates the path — the fresh dir has no _unified_ok marker, so
-    # the sniff re-runs and refuses
+    # sink EMPTIED IN PLACE and an OLD-BUILD raw writer (no _raw_channel
+    # marker) reuses the path with the SAME epoch dir name — the exact
+    # case every cached-verdict variant replayed a stale verdict on; the
+    # fresh sniff refuses
+    for d in os.listdir(path):
+        if d.startswith(("epoch=", "compact=")):
+            shutil.rmtree(os.path.join(path, d))
+    spark.createDataFrame(
+        [("c0", 1)], "conv_id string, turn_idx long"
+    ).write.parquet(os.path.join(path, "epoch=0"))
+    with pytest.raises(ValueError, match="no\\s+row_type"):
+        sk.compact_data_epochs(spark, path, fanout=64, grace_seconds=0)
+
+    # sink torn down entirely and recreated: same refusal
     shutil.rmtree(path)
     spark.createDataFrame(
         [("c0", 1)], "conv_id string, turn_idx long"
@@ -642,6 +654,34 @@ def test_ivf_compact_folds_epochs_exactly_once(spark, sf_dir, tmp_path):
         assert S.compact_ivf_index(spark, idx) is False
     finally:
         os.close(fd)
+
+
+def test_ivf_retention_is_index_state(spark, sf_dir, tmp_path):
+    """keep_generations is stored in the manifest and preserved by
+    maintainers that don't re-specify it (review r6e: a routine default
+    compact must not sweep the window a build configured); negative
+    retention is rejected before it can sweep the live generation."""
+    from dataflow_ordered_processing_spark.functions import similarity as S
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    cb = S.build_ivf_index(embs, idx, n_cells=8, train_iters=3, keep_generations=2)
+    assert S._read_manifest(idx)["keep_generations"] == 2
+    # three more publishes with DEFAULT retention: the stored keep=2 must
+    # persist, so gen N-1 and N-2 survive each publish
+    for _ in range(3):
+        S.build_ivf_index(embs, idx, n_cells=8, codebook=cb)
+    import os
+
+    assert S._current_generation(idx) == 4
+    assert S._read_manifest(idx)["keep_generations"] == 2
+    gens = sorted(d for d in os.listdir(idx) if d.startswith("gen="))
+    assert gens == ["gen=00000002", "gen=00000003", "gen=00000004"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_generations"):
+        S.build_ivf_index(embs, idx, n_cells=8, codebook=cb, keep_generations=-1)
 
 
 def test_ivf_rebuild_publishes_consistent_generation(spark, sf_dir, tmp_path):
