@@ -849,6 +849,30 @@ def _q_ivf_topk_indexed(spark, sf_dir):
     return similarity.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
 
 
+def _q_ivf_index_lifecycle(spark, sf_dir):
+    """The FULL materialized-index maintenance cycle as one driver query
+    (r6): build on a base slice (codebook TRAINED on the base only) →
+    append_ivf_epoch of the remaining vectors with the stored codebook →
+    compact_ivf_index folds the appended epoch back into one clustered
+    base generation → query the folded index. Results must equal the
+    direct plan with the base-trained codebook over the full corpus, so
+    the oracle is the trained-IVF SQL with its TRAINING CTEs restricted
+    to the base slice (train_filter='vec_id < 300') — the append and the
+    fold are exact no-ops on query results by construction, and this row
+    proves it in the gate."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = _stage_dir("ivf-lifecycle")
+    similarity.build_ivf_index(
+        embs.filter(F.col("vec_id") < 300), idx, n_cells=8, train_iters=3
+    )
+    similarity.append_ivf_epoch(embs.filter(F.col("vec_id") >= 300), idx, "delta1")
+    similarity.compact_ivf_index(spark, idx)
+    return similarity.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
+
+
 def _q_trailing_avg(spark, sf_dir):
     """A3 analog (reference Simulator.java:120-134 trailing VWAP): trailing
     mean text length over the last 5 turns per conversation, in turn order."""
@@ -1023,8 +1047,13 @@ def _q_hotkey_routed(spark, sf_dir):
 # dataset_split (its md5-bucket split recipe runs verbatim inside the
 # in-gate training_mix final stage) and lsh_bucket_stats (a diagnostic
 # view of the LSH bucketing that minhash_lsh_pairs and dedup_pipeline
-# keep in-gate). Both still exact-checked in extras.
+# keep in-gate). Both still exact-checked in extras. Late-r6 rotation:
+# ivf_index_lifecycle (build→append→compact→query, the round's index
+# maintenance cycle) enters at the head; plain ivf_topk moves to extras —
+# its per-call plan shares the byte-identical trained-IVF oracle with the
+# in-gate ivf_topk_indexed, so the operator family keeps two driver rows.
 _NEVER_CHECKED_FIRST = [
+    "ivf_index_lifecycle",
     "training_mix",
     "ivf_topk_indexed",
     "sample_stratified",
@@ -1034,13 +1063,13 @@ _NEVER_CHECKED_FIRST = [
     "fingerprint",
     "brute_force_topk",
     "lsh_topk",
-    "ivf_topk",
     "cosine_near_dup",
     "status_history",
     "latest_status_per_key",
 ]
 
 _EXTRA_KEYS = [
+    "ivf_topk",
     "dataset_split",
     "lsh_bucket_stats",
     "latest_conversation",
@@ -1143,6 +1172,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_indexed": _q_ivf_topk_indexed,
+        "ivf_index_lifecycle": _q_ivf_index_lifecycle,
         "cosine_near_dup": _q_cosine_near_dup,
         "embedding_clusters": _q_embedding_clusters,
         "status_history": _q_status_history,
@@ -1479,6 +1509,9 @@ def _all_oracles() -> dict[str, str]:
         # the indexed form is bit-identical to ivf_topk by construction
         # (same codebook recipe, JSON float round-trip exact) — same oracle
         "ivf_topk_indexed": _ivf_topk_oracle(n_cells=8, n_probe=2, n_iter=3),
+        "ivf_index_lifecycle": _ivf_topk_oracle(
+            n_cells=8, n_probe=2, n_iter=3, train_filter="vec_id < 300"
+        ),
         "cosine_near_dup": _cosine_near_dup_oracle(),
         # transitive closure over the same near-dup pair SQL, labelled by
         # min reachable vec_id (the dedup_clusters recursive-CTE pattern)
@@ -1616,7 +1649,11 @@ def _duck_fold_cos(a: str, b: str) -> str:
 
 
 def _ivf_topk_oracle(
-    k: int = 5, n_cells: int = 8, n_probe: int = 2, n_iter: int = 3
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 3,
+    train_filter: str | None = None,
 ) -> str:
     """IVF ANN with a TRAINED codebook (r6), exactly reproducible at any
     scale factor because the oracle recomputes the training itself: init =
@@ -1626,23 +1663,34 @@ def _ivf_topk_oracle(
     both engines land on the same double centroid). The codebook is
     float32-quantized wherever it is USED (CAST FLOAT[] → DOUBLE[]), which
     is exactly ivf_assign's np.float32(codebook) widening — identical
-    algebra to the Spark plan, term for term."""
+    algebra to the Spark plan, term for term.
+
+    ``train_filter`` restricts the TRAINING corpus (init + Lloyd's
+    assignment rounds) to a subset — the index-lifecycle shape where the
+    codebook is trained on the base build and later epochs are appended
+    with the stored codebook; corpus assignment/scoring still covers all
+    of `embeddings`."""
 
     def cbq(expr: str) -> str:
         # codebook-in-use quantization: float32 then exact double widening
         return f"CAST(CAST({expr} AS FLOAT[]) AS DOUBLE[])"
 
-    ctes = [
+    ctes = []
+    train = "embeddings"
+    if train_filter:
+        ctes.append(f"tr AS (SELECT * FROM embeddings WHERE {train_filter})")
+        train = "tr"
+    ctes.append(
         f"cent0 AS (SELECT CAST(vec_id AS INT) AS cell, "
-        f"CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < {n_cells})"
-    ]
+        f"CAST(embedding AS DOUBLE[]) AS cv FROM {train} WHERE vec_id < {n_cells})"
+    )
     for i in range(1, n_iter + 1):
         p = i - 1
         ctes.append(f"""as{i} AS (SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
                {_duck_fold_cos('e.embedding', cbq('c.cv'))} DESC, c.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN cent{p} c) WHERE rn = 1)""")
+    FROM {train} e CROSS JOIN cent{p} c) WHERE rn = 1)""")
         ctes.append(f"""m{i} AS (
   SELECT cell, j,
          CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
