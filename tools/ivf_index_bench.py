@@ -143,12 +143,15 @@ def main() -> int:
             ).count()
         indexed_wall = round(time.time() - t0, 2)
 
+        # layout moved under atomic generation dirs (r6): count files in
+        # the LIVE generation, the one every indexed query reads
+        gen_corpus = os.path.join(S._gen_dir(idx_path), "corpus")
         files_total = len(
-            glob.glob(os.path.join(idx_path, "corpus", "epoch=*", "cell=*", "*.parquet"))
+            glob.glob(os.path.join(gen_corpus, "epoch=*", "cell=*", "*.parquet"))
         )
         files_probed = [
             sum(
-                len(glob.glob(os.path.join(idx_path, "corpus", "epoch=*", f"cell={c}", "*.parquet")))
+                len(glob.glob(os.path.join(gen_corpus, "epoch=*", f"cell={c}", "*.parquet")))
                 for c in cells
             )
             for cells in probed_cells
