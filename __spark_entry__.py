@@ -959,6 +959,160 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------- CEP
+# The north rule frames the engine as a "structured-streaming / CEP engine";
+# these are the row-pattern-recognition queries (SQL:2016 MATCH_RECOGNIZE /
+# FlinkCEP capability class) over the ordered transcript sequence.
+
+from dataflow_ordered_processing_spark.operators.cep_core import Step as _CepStep
+
+# strict contiguity: a user turn answered by an assistant turn immediately
+# followed by a code tool call — Flink CEP next().next()
+_CEP_STRICT_STEPS = [
+    _CepStep("u", role="user"),
+    _CepStep("a", role="assistant"),
+    _CepStep("c", role="tool", tool="code"),
+]
+# skip-till-next funnel: user → nearest following search tool call →
+# nearest following assistant turn, completing within 200 000 s —
+# Flink CEP followedBy().followedBy().within()
+_CEP_FUNNEL_STEPS = [
+    _CepStep("u", role="user"),
+    _CepStep("s", role="tool", tool="search"),
+    _CepStep("a", role="assistant"),
+]
+_CEP_FUNNEL_WITHIN_S = 200_000
+
+
+def _q_cep_strict(spark, sf_dir):
+    """Strict-contiguity pattern match (plans/cep.match_pattern strict):
+    k-1 LEADs over one hash exchange on conv_id, zero joins."""
+    from dataflow_ordered_processing_spark.plans.cep import match_pattern
+
+    return match_pattern(
+        derive_transcripts(spark, sf_dir), _CEP_STRICT_STEPS, mode="strict"
+    )
+
+
+def _q_cep_funnel(spark, sf_dir):
+    """Skip-till-next funnel with a within bound (plans/cep.match_pattern
+    skip): nearest-following-match window columns + co-partitioned hops."""
+    from dataflow_ordered_processing_spark.plans.cep import match_pattern
+
+    return match_pattern(
+        derive_transcripts(spark, sf_dir),
+        _CEP_FUNNEL_STEPS,
+        mode="skip",
+        within=_CEP_FUNNEL_WITHIN_S,
+    )
+
+
+_CEP_STRICT_ORACLE = _with_transcripts(
+    """
+    SELECT conv_id, start_idx, end_idx, ts_first, ts_last, span_us FROM (
+      SELECT conv_id,
+             turn_idx AS start_idx,
+             lead(turn_idx, 2) OVER w AS end_idx,
+             ts AS ts_first,
+             lead(ts, 2) OVER w AS ts_last,
+             epoch_us(lead(ts, 2) OVER w) - epoch_us(ts) AS span_us,
+             role = 'user'
+             AND coalesce(lead(role = 'assistant', 1) OVER w, false)
+             AND coalesce(lead(role = 'tool' AND tool = 'code', 2) OVER w, false)
+             AND lead(turn_idx, 2) OVER w = turn_idx + 2 AS _m
+      FROM transcripts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ) WHERE _m
+    """
+)
+
+_CEP_FUNNEL_ORACLE = _with_transcripts(
+    f"""
+    SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last, span_us FROM (
+      WITH base AS (
+        SELECT conv_id, turn_idx, ts, role = 'user' AS _m0,
+               min(CASE WHEN role = 'tool' AND tool = 'search'
+                        THEN turn_idx END) OVER wf AS n1,
+               min(CASE WHEN role = 'assistant'
+                        THEN turn_idx END) OVER wf AS n2
+        FROM transcripts
+        WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      ),
+      anch AS (SELECT conv_id, turn_idx AS u_idx, ts AS ts_first, n1 AS s_idx
+               FROM base WHERE _m0 AND n1 IS NOT NULL),
+      hop1 AS (SELECT a.conv_id, a.u_idx, a.ts_first, a.s_idx, b.n2 AS a_idx
+               FROM anch a
+               JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.s_idx
+               WHERE b.n2 IS NOT NULL),
+      hop2 AS (SELECT h.conv_id, h.u_idx, h.s_idx, h.a_idx, h.ts_first,
+                      b.ts AS ts_last
+               FROM hop1 h
+               JOIN base b ON b.conv_id = h.conv_id AND b.turn_idx = h.a_idx)
+      SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last,
+             epoch_us(ts_last) - epoch_us(ts_first) AS span_us
+      FROM hop2
+      WHERE epoch_us(ts_last) - epoch_us(ts_first)
+            <= {_CEP_FUNNEL_WITHIN_S} * CAST(1000000 AS BIGINT)
+    )
+    """
+)
+
+
+def _q_cep_stream(spark, sf_dir):
+    """CEP downstream of ordering in ONE streaming query: the classic
+    stateful engine orders the damaged out-of-order arrival AND matches the
+    strict pattern over its in-order emission (cfg.pattern; the (k-1)-turn
+    carry stitches matches across micro-batch boundaries). Oracle = the
+    same strict-lead SQL over the contiguous-prefix rows the stream can
+    emit (classified WHERE rn = turn_idx)."""
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming import (
+        OrderedStreamConfig,
+        ordered_stream,
+    )
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+        split_output_cep,
+    )
+
+    stage = _stage_dir("cep-stream-src")
+    _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    name = "cep_stream_out"
+    cfg = OrderedStreamConfig(pattern=tuple(_CEP_STRICT_STEPS))
+    q = (
+        ordered_stream(src, cfg)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _, _, matches = split_output_cep(spark.table(name))
+    return matches
+
+
+_CEP_STREAM_ORACLE = _with_transcripts(
+    """
+    SELECT conv_id, start_idx, end_idx, ts_first, ts_last, span_us FROM (
+      SELECT conv_id,
+             CAST(turn_idx AS BIGINT) AS start_idx,
+             CAST(lead(turn_idx, 2) OVER w AS BIGINT) AS end_idx,
+             ts AS ts_first,
+             lead(ts, 2) OVER w AS ts_last,
+             epoch_us(lead(ts, 2) OVER w) - epoch_us(ts) AS span_us,
+             role = 'user'
+             AND coalesce(lead(role = 'assistant', 1) OVER w, false)
+             AND coalesce(lead(role = 'tool' AND tool = 'code', 2) OVER w, false)
+             AND lead(turn_idx, 2) OVER w = turn_idx + 2 AS _m
+      FROM (SELECT * FROM classified WHERE rn = turn_idx)
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ) WHERE _m
+    """
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the ordering operator over damaged out-of-order transcripts
     at sf0.001."""
@@ -1053,6 +1207,9 @@ def _q_hotkey_routed(spark, sf_dir):
 # its per-call plan shares the byte-identical trained-IVF oracle with the
 # in-gate ivf_topk_indexed, so the operator family keeps two driver rows.
 _NEVER_CHECKED_FIRST = [
+    "cep_strict",
+    "cep_funnel",
+    "cep_stream",
     "ivf_index_lifecycle",
     "training_mix",
     "ivf_topk_indexed",
@@ -1069,6 +1226,9 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
+    "sliding_stream_append",
+    "tumbling_stream_append",
+    "ngram_jaccard",
     "ivf_topk",
     "dataset_split",
     "lsh_bucket_stats",
@@ -1113,6 +1273,9 @@ def extra_oracle_sql() -> dict[str, str]:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "cep_strict": _q_cep_strict,
+        "cep_funnel": _q_cep_funnel,
+        "cep_stream": _q_cep_stream,
         "hotkey_routed": _q_hotkey_routed,
         "ordered_emit": _q_ordered_emit,
         "ordered_emit_pandas": _q_ordered_emit_pandas,
@@ -1300,6 +1463,9 @@ def _all_oracles() -> dict[str, str]:
         # watermark past every real window/session; its own never closes)
         "tumbling_tool_counts": _TUMBLING_ORACLE,
         "tumbling_stream": _TUMBLING_ORACLE,
+        "cep_strict": _CEP_STRICT_ORACLE,
+        "cep_funnel": _CEP_FUNNEL_ORACLE,
+        "cep_stream": _CEP_STREAM_ORACLE,
         "tumbling_stream_append": _TUMBLING_ORACLE,
         # late subset (turn_idx % 7 == 3) is below the watermark on arrival
         # → dropped; the stream output equals the ON-TIME-only aggregation

@@ -1,5 +1,6 @@
 from .ordered_core import OrderedState, apply_batch, default_is_last, status_dict
 from .ordered_batch import ordered_emit_batch, ordered_status_batch
+from .cep_core import Step, match_strict
 
 __all__ = [
     "OrderedState",
@@ -8,4 +9,6 @@ __all__ = [
     "status_dict",
     "ordered_emit_batch",
     "ordered_status_batch",
+    "Step",
+    "match_strict",
 ]

@@ -1,3 +1,4 @@
-from . import analytics
+from . import analytics, cep
+from .cep import match_pattern
 
-__all__ = ["analytics"]
+__all__ = ["analytics", "cep", "match_pattern"]

@@ -1,0 +1,195 @@
+"""Batch CEP: SQL:2016-style row-pattern matching over ordered transcripts.
+
+The north rule calls this engine a "structured-streaming / CEP engine"; the
+reference's ordered output is exactly the substrate row-pattern queries need
+(a per-key gap-free sequence). Spark has no MATCH_RECOGNIZE, so this module
+re-expresses the two workhorse pattern classes as pure window-function /
+equi-join plans (whole-stage-codegen built-ins, no Python):
+
+  - ``mode="strict"`` — strict contiguity (Flink CEP ``next`` /
+    MATCH_RECOGNIZE default): step i must hold on the i-th *consecutive*
+    turn after the anchor. Plan: k-1 LEADs over (key ORDER BY order) — ONE
+    hash exchange on the key, zero joins.
+  - ``mode="skip"`` — skip-till-next-match (Flink CEP ``followedBy``): step
+    i must hold on the *nearest* following turn after the matched step i-1
+    row. Plan: per-step "nearest following match" columns via
+    MIN(CASE WHEN step THEN order END) OVER (ROWS BETWEEN 1 FOLLOWING AND
+    UNBOUNDED FOLLOWING), then k-2 co-partitioned equi-joins on
+    (key, matched idx) to hop the chain. All joins are on the same key the
+    window already partitioned by — co-located at scale.
+
+Both modes support FlinkCEP-style ``within``: the first→last timestamp span
+bound, compared in exact epoch-micros (Spark ``unix_micros`` ≡ DuckDB
+``epoch_us`` — BIGINT both sides, so the oracle compare is exact).
+
+Overlap policy is ALL matches (SQL:2016 ``AFTER MATCH SKIP TO NEXT ROW``):
+every anchor row that completes a chain reports one match. This keeps the
+operator a pure per-row expression — deterministic, oracle-exact, and free
+of the sequential scan a SKIP PAST LAST ROW policy would force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.cep_core import Step
+
+
+def _norm(steps) -> list[tuple[str, str]]:
+    """Normalize steps to (name, sql_predicate) pairs; accepts Step objects
+    (shared with the streaming matcher) or raw (name, sql) tuples."""
+    out = []
+    for s in steps:
+        if isinstance(s, Step):
+            out.append((s.name, s.sql))
+        else:
+            name, sql = s
+            out.append((str(name), str(sql)))
+    if len(out) < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    if len({n for n, _ in out}) != len(out):
+        raise ValueError("step names must be unique")
+    return out
+
+
+def match_pattern(
+    df: DataFrame,
+    steps,
+    *,
+    mode: str = "strict",
+    within: str | None = None,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts: str = "ts",
+) -> DataFrame:
+    """Detect a multi-step pattern per key over an ordered table.
+
+    ``within``: SQL interval-seconds bound as a string (e.g. ``"200000"``)
+    or int — max allowed ``ts_last - ts_first`` span in SECONDS (converted
+    to micros internally; exact integer compare).
+
+    Output (strict): key, start_idx, end_idx, ts_first, ts_last, span_us.
+    Output (skip):   key, <name>_idx per step, ts_first, ts_last, span_us.
+    """
+    pairs = _norm(steps)
+    if mode == "strict":
+        return _match_strict(df, pairs, within, key, order, ts)
+    if mode == "skip":
+        return _match_skip(df, pairs, within, key, order, ts)
+    raise ValueError(f"unknown mode {mode!r} (strict | skip)")
+
+
+def _within_us(within) -> int | None:
+    return None if within is None else int(within) * 1_000_000
+
+
+def _micros(c):
+    # ts may be TIMESTAMP_NTZ (parquet naive); unix_micros needs TIMESTAMP.
+    # Session TZ is pinned UTC (session.get_spark), so the cast is the
+    # identity on wall time and matches DuckDB's epoch_us(naive).
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _match_strict(df, pairs, within, key, order, ts) -> DataFrame:
+    k = len(pairs)
+    w = Window.partitionBy(key).orderBy(order)
+    cond = F.expr(pairs[0][1])
+    for i, (_, sql) in enumerate(pairs[1:], start=1):
+        cond = cond & F.coalesce(F.lead(F.expr(sql), i).over(w), F.lit(False))
+    # strict contiguity: the (k-1)-th following ROW must be exactly k-1
+    # sequence steps ahead (order is a gap-free int per key, M3) — a single
+    # guard on the last lead pins every intermediate row too
+    end_idx = F.lead(F.col(order), k - 1).over(w)
+    cond = cond & (end_idx == F.col(order) + F.lit(k - 1))
+    ts_last = F.lead(F.col(ts), k - 1).over(w)
+    span = _micros(ts_last) - _micros(F.col(ts))
+    wus = _within_us(within)
+    if wus is not None:
+        cond = cond & (span <= F.lit(wus))
+    return (
+        df.withColumns(
+            {
+                "_m": cond,
+                "end_idx": end_idx,
+                "ts_last": ts_last,
+                "span_us": span,
+            }
+        )
+        .filter(F.col("_m"))
+        .select(
+            key,
+            F.col(order).alias("start_idx"),
+            "end_idx",
+            F.col(ts).alias("ts_first"),
+            "ts_last",
+            "span_us",
+        )
+    )
+
+
+def _match_skip(df, pairs, within, key, order, ts) -> DataFrame:
+    k = len(pairs)
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    # nearest-following-match index for every step (one shuffle, k window
+    # aggregates over the same frame)
+    base = df.withColumns(
+        {
+            f"_next_{i}": F.min(
+                F.when(F.expr(sql), F.col(order))
+            ).over(wf)
+            for i, (_, sql) in enumerate(pairs)
+            if i > 0
+        }
+    ).select(key, order, ts, F.expr(pairs[0][1]).alias("_m0"),
+             *[f"_next_{i}" for i in range(1, k)])
+
+    name0 = pairs[0][0]
+    cur = (
+        base.filter(F.col("_m0") & F.col("_next_1").isNotNull())
+        .select(
+            key,
+            F.col(order).alias(f"{name0}_idx"),
+            F.col(ts).alias("ts_first"),
+            F.col("_next_1").alias(f"{pairs[1][0]}_idx"),
+        )
+    )
+    # hop the chain: fetch each matched row's ts and ITS nearest-next for
+    # the following step — co-partitioned equi-joins on (key, idx)
+    for i in range(1, k):
+        name_i = pairs[i][0]
+        sel = [F.col(key).alias("_jk"), F.col(order).alias("_ji"),
+               F.col(ts).alias("_jts")]
+        if i + 1 < k:
+            sel.append(F.col(f"_next_{i + 1}").alias("_jn"))
+        right = base.select(*sel)
+        cur = cur.join(
+            right,
+            (F.col(key) == F.col("_jk"))
+            & (F.col(f"{name_i}_idx") == F.col("_ji")),
+            "inner",
+        ).drop("_jk", "_ji")
+        if i + 1 < k:
+            cur = (
+                cur.filter(F.col("_jn").isNotNull())
+                .withColumnRenamed("_jn", f"{pairs[i + 1][0]}_idx")
+                .drop("_jts")
+            )
+        else:
+            cur = cur.withColumnRenamed("_jts", "ts_last")
+    span = _micros(F.col("ts_last")) - _micros(F.col("ts_first"))
+    cur = cur.withColumn("span_us", span)
+    wus = _within_us(within)
+    if wus is not None:
+        cur = cur.filter(F.col("span_us") <= F.lit(wus))
+    return cur.select(
+        key,
+        *[f"{n}_idx" for n, _ in pairs],
+        "ts_first",
+        "ts_last",
+        "span_us",
+    )

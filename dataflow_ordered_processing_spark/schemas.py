@@ -70,6 +70,24 @@ STREAM_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# CEP variants (streaming/ordered_stream.py cfg.pattern): the unified output
+# grows a third row_type 'match' with its own columns, and the state grows
+# the (k-1)-row carry of the last emitted turns so strict-contiguity matches
+# spanning micro-batch boundaries are found exactly once. SEPARATE schemas,
+# used only when a pattern is configured — existing checkpoints (and the
+# state-store schema-compat check) never see them.
+_MATCH_FIELDS = [
+    T.StructField("match_start_idx", T.LongType(), True),
+    T.StructField("match_end_idx", T.LongType(), True),
+    T.StructField("match_ts_first", T.TimestampType(), True),
+    T.StructField("match_ts_last", T.TimestampType(), True),
+    T.StructField("match_span_us", T.LongType(), True),
+]
+
+STREAM_OUTPUT_SCHEMA_CEP = T.StructType(
+    list(STREAM_OUTPUT_SCHEMA.fields) + _MATCH_FIELDS
+)
+
 # applyInPandasWithState state struct: cursor + counters + columnar buffer of
 # pending (out-of-sequence) rows. The buffer is parallel arrays (not an array
 # of structs) so the pandas side can go straight to numpy without object
@@ -92,6 +110,18 @@ STATE_SCHEMA = T.StructType(
         T.StructField("buf_ts_us", T.ArrayType(T.LongType()), True),
         # timer firings since the last arrival (drives idle-state eviction)
         T.StructField("idle_heartbeats", T.LongType(), False),
+    ]
+)
+
+# STATE_SCHEMA + the CEP carry: the trailing (k-1) emitted turns, columnar
+# like the buffer. Only used when cfg.pattern is set (see note above).
+STATE_SCHEMA_CEP = T.StructType(
+    list(STATE_SCHEMA.fields)
+    + [
+        T.StructField("cep_turn_idx", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_role", T.ArrayType(T.StringType()), True),
+        T.StructField("cep_tool", T.ArrayType(T.StringType()), True),
+        T.StructField("cep_ts_us", T.ArrayType(T.LongType()), True),
     ]
 )
 

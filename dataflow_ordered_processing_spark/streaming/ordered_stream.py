@@ -38,8 +38,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..operators import cep_core
 from ..operators import ordered_core as core
-from ..schemas import STATE_SCHEMA, STREAM_OUTPUT_SCHEMA
+from ..schemas import (
+    STATE_SCHEMA,
+    STATE_SCHEMA_CEP,
+    STREAM_OUTPUT_SCHEMA,
+    STREAM_OUTPUT_SCHEMA_CEP,
+)
 
 _DEPTH_COLS = ["n_user_cum", "n_assistant_cum", "n_tool_cum", "chars_cum"]
 _DATA_COLS = ["turn_idx", "role", "text", "tool", "ts", "emit_seq", *_DEPTH_COLS]
@@ -78,6 +84,15 @@ class OrderedStreamConfig:
     # final status row and its state is EVICTED — pending buffered turns are
     # dropped. Requires status_heartbeat_ms (the timer that detects idleness).
     evict_idle_after_heartbeats: int | None = None
+    # CEP (north rule "structured-streaming / CEP engine"): a tuple of
+    # cep_core.Step — strict-contiguity pattern matched over the in-order
+    # EMITTED turns, exactly once per match even across micro-batch
+    # boundaries (a (k-1)-turn carry rides in the state). Matches surface as
+    # row_type='match' rows; output/state use the *_CEP schema variants, so
+    # enabling a pattern on an existing checkpoint is refused by the state
+    # store's schema-compat check rather than silently mismatching.
+    pattern: tuple | None = None
+    pattern_within_s: int | None = None  # FlinkCEP within() on first→last ts
 
 
 def _state_to_tuple(st: core.OrderedState) -> tuple:
@@ -171,14 +186,104 @@ def _status_frame(conv_id: str, status: dict) -> pd.DataFrame:
     )
 
 
+_MATCH_COLS = [
+    "match_start_idx",
+    "match_end_idx",
+    "match_ts_first",
+    "match_ts_last",
+    "match_span_us",
+]
+
+
+def _pad_cep(df: pd.DataFrame) -> pd.DataFrame:
+    """Add null match columns to a data/status frame (CEP schema variant)."""
+    n = len(df)
+    for c in ("match_start_idx", "match_end_idx", "match_span_us"):
+        df[c] = np.full(n, np.nan)
+    for c in ("match_ts_first", "match_ts_last"):
+        df[c] = pd.Series(np.full(n, None), dtype="datetime64[us]")
+    return df
+
+
+def _match_frame(conv_id: str, matches: dict) -> pd.DataFrame:
+    n = len(matches["start_idx"])
+    none = np.full(n, None, dtype=object)
+    nan = np.full(n, np.nan)
+    null_ts = pd.Series(np.full(n, None), dtype="datetime64[us]")
+    return pd.DataFrame(
+        {
+            "row_type": np.full(n, "match", dtype=object),
+            "conv_id": np.full(n, conv_id, dtype=object),
+            "turn_idx": nan,
+            "role": none,
+            "text": none,
+            "tool": none,
+            "ts": null_ts,
+            "emit_seq": nan,
+            **{c: nan for c in _DEPTH_COLS},
+            "status_ts": null_ts,
+            **{c: nan for c in _STATUS_COLS if c != "last_event_received"},
+            "last_event_received": none,
+            "match_start_idx": matches["start_idx"],
+            "match_end_idx": matches["end_idx"],
+            "match_ts_first": matches["ts_first_us"].view("M8[us]"),
+            "match_ts_last": matches["ts_last_us"].view("M8[us]"),
+            "match_span_us": matches["ts_last_us"] - matches["ts_first_us"],
+        }
+    )
+
+
+def _carry_from_tuple(t: tuple) -> dict:
+    # positions 15-18 (after idle_heartbeats); absent/None → empty carry
+    if len(t) <= 15 or t[15] is None:
+        return cep_core.empty_carry()
+    return {
+        "turn_idx": np.asarray(list(t[15]), dtype="int64"),
+        "role": np.asarray(list(t[16] or []), dtype=object),
+        "tool": np.asarray(list(t[17] or []), dtype=object),
+        "ts_us": np.asarray(list(t[18] or []), dtype="int64"),
+    }
+
+
+def _carry_fields(carry: dict) -> tuple:
+    return (
+        np.asarray(carry["turn_idx"]).tolist(),
+        np.asarray(carry["role"]).tolist(),
+        np.asarray(carry["tool"]).tolist(),
+        np.asarray(carry["ts_us"]).tolist(),
+    )
+
+
 def make_ordered_func(cfg: OrderedStreamConfig):
     """Build the (key, pdf_iter, state) function for applyInPandasWithState."""
+
+    has_cep = cfg.pattern is not None
+    steps = tuple(cfg.pattern) if has_cep else ()
+    within_us = (
+        cfg.pattern_within_s * 1_000_000
+        if has_cep and cfg.pattern_within_s is not None
+        else None
+    )
+
+    def _cep_run(emitted: pd.DataFrame, carry: dict):
+        run = {
+            "turn_idx": emitted["turn_idx"].to_numpy(dtype="int64", copy=False),
+            "role": emitted["role"].to_numpy(copy=False),
+            "tool": emitted["tool"].to_numpy(copy=False),
+            "ts_us": emitted["ts_us"].to_numpy(dtype="int64", copy=False),
+        }
+        return cep_core.match_strict(steps, run, carry, within_us)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        return _pad_cep(df) if has_cep else df
 
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
 
         if state.hasTimedOut:
-            st = _state_from_tuple(tuple(state.get))
+            t = tuple(state.get)
+            st = _state_from_tuple(t)
+            carry = _carry_from_tuple(t) if has_cep else None
             st.idle_heartbeats += 1
             # a capped drain (max_emit_per_batch) may have left a CONTIGUOUS
             # run in the buffer; the timer is the only guaranteed future
@@ -187,6 +292,9 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             emitted = core.apply_batch(
                 st, core._EMPTY_BUFFER, max_emit=cfg.max_emit_per_batch
             )
+            matches = None
+            if has_cep and len(emitted):
+                matches, carry = _cep_run(emitted, carry)
             # A COMPLETED key (final seen, buffer drained) is a tombstone:
             # its counters are frozen, so a heartbeat status would only
             # repeat the completion snapshot already emitted on the final
@@ -207,25 +315,35 @@ def make_ordered_func(cfg: OrderedStreamConfig):
                 # is the tombstone record (gap_report picks it up downstream)
                 state.remove()
             else:
-                state.update(_state_to_tuple(st))
+                t_new = _state_to_tuple(st)
+                state.update(t_new + _carry_fields(carry) if has_cep else t_new)
                 if cfg.status_heartbeat_ms and (
                     not st.complete or cfg.evict_idle_after_heartbeats is not None
                 ):
                     state.setTimeoutDuration(cfg.status_heartbeat_ms)
             if len(emitted):
-                yield _data_frame(conv_id, emitted)
+                yield _finish(_data_frame(conv_id, emitted))
+            if matches is not None and len(matches["start_idx"]):
+                yield _match_frame(conv_id, matches)
             if status is not None:
-                yield _status_frame(conv_id, status)
+                yield _finish(_status_frame(conv_id, status))
             return
 
-        st = _state_from_tuple(tuple(state.get)) if state.exists else core.OrderedState(
-            last_emitted=cfg.initial_turn_idx - 1
-        )
+        if state.exists:
+            t = tuple(state.get)
+            st = _state_from_tuple(t)
+            carry = _carry_from_tuple(t) if has_cep else None
+        else:
+            st = core.OrderedState(last_emitted=cfg.initial_turn_idx - 1)
+            carry = cep_core.empty_carry() if has_cep else None
 
         frames = list(pdfs)
         batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
         emitted = core.apply_batch(st, batch, max_emit=cfg.max_emit_per_batch)
         st.idle_heartbeats = 0  # arrival resets the idle-eviction clock
+        matches = None
+        if has_cep and len(emitted):
+            matches, carry = _cep_run(emitted, carry)
 
         status = None
         if cfg.emit_status_every_batch:
@@ -235,7 +353,8 @@ def make_ordered_func(cfg: OrderedStreamConfig):
         if st.complete and cfg.cleanup_on_complete:
             state.remove()  # O4: eager cleanup on last event (examiner contract)
         else:
-            state.update(_state_to_tuple(st))
+            t_new = _state_to_tuple(st)
+            state.update(t_new + _carry_fields(carry) if has_cep else t_new)
             # completed keys are frozen tombstones — re-arm the timer only
             # when a TTL exists to eventually evict them; otherwise heartbeat
             # timers would fire (and emit unchanged statuses) forever
@@ -245,9 +364,11 @@ def make_ordered_func(cfg: OrderedStreamConfig):
                 state.setTimeoutDuration(cfg.status_heartbeat_ms)
 
         if len(emitted):
-            yield _data_frame(conv_id, emitted)
+            yield _finish(_data_frame(conv_id, emitted))
+        if matches is not None and len(matches["start_idx"]):
+            yield _match_frame(conv_id, matches)
         if status is not None:
-            yield _status_frame(conv_id, status)
+            yield _finish(_status_frame(conv_id, status))
 
     return func
 
@@ -258,10 +379,11 @@ def ordered_stream(df: DataFrame, cfg: OrderedStreamConfig | None = None) -> Dat
     """
     cfg = cfg or OrderedStreamConfig()
     timeout = "ProcessingTimeTimeout" if cfg.status_heartbeat_ms else "NoTimeout"
+    has_cep = cfg.pattern is not None
     return df.groupBy("conv_id").applyInPandasWithState(
         make_ordered_func(cfg),
-        outputStructType=STREAM_OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        outputStructType=STREAM_OUTPUT_SCHEMA_CEP if has_cep else STREAM_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA_CEP if has_cep else STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )
@@ -278,3 +400,18 @@ def split_output(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
         "conv_id", "status_ts", *_STATUS_COLS
     )
     return data, status
+
+
+def split_output_cep(unified: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """split_output + the match channel (row_type='match') with its natural
+    schema — for streams built with cfg.pattern."""
+    data, status = split_output(unified)
+    matches = unified.filter(unified.row_type == "match").select(
+        "conv_id",
+        unified.match_start_idx.alias("start_idx"),
+        unified.match_end_idx.alias("end_idx"),
+        unified.match_ts_first.alias("ts_first"),
+        unified.match_ts_last.alias("ts_last"),
+        unified.match_span_us.alias("span_us"),
+    )
+    return data, status, matches

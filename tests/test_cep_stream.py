@@ -1,0 +1,136 @@
+"""Streaming CEP: the engine-integrated strict matcher (cfg.pattern) must
+find exactly the batch matcher's matches — across micro-batch boundaries,
+out-of-order arrival, duplicates, and capped drains — each exactly once.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dataflow_ordered_processing_spark.operators.cep_core import Step
+from dataflow_ordered_processing_spark.plans.cep import match_pattern
+from dataflow_ordered_processing_spark.sources import scenarios
+from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+    OrderedStreamConfig,
+    split_output_cep,
+)
+
+from streaming_utils import run_to_memory
+
+STEPS = (
+    Step("u", role="user"),
+    Step("a", role="assistant"),
+    Step("t", role="tool"),
+)
+
+
+def _batch_expected(spark, full: pd.DataFrame, within=None):
+    df = spark.createDataFrame(full)
+    return (
+        match_pattern(df, STEPS, mode="strict", within=within)
+        .orderBy("conv_id", "start_idx")
+        .toPandas()
+    )
+
+
+def _stream_matches(spark, tmp_path, batches, cfg):
+    q, name, _ = run_to_memory(spark, str(tmp_path), batches, cfg=cfg)
+    try:
+        _, _, matches = split_output_cep(spark.table(name))
+        return matches.orderBy("conv_id", "start_idx").toPandas()
+    finally:
+        q.stop()
+
+
+def test_stream_matches_equal_batch_across_boundaries(spark, tmp_path):
+    """Out-of-order multi-batch arrival: every match found once, including
+    matches whose turns emit in different micro-batches."""
+    full = pd.concat(
+        [scenarios.conversation(c, 13) for c in range(4)], ignore_index=True
+    )
+    # batch 1: even turns (buffer mostly), batch 2: the rest + duplicates
+    b1 = full[full.turn_idx % 2 == 0]
+    b2 = pd.concat([full[full.turn_idx % 2 == 1], full.head(5)], ignore_index=True)
+    cfg = OrderedStreamConfig(pattern=STEPS)
+    got = _stream_matches(spark, tmp_path, [b1, b2], cfg)
+    expect = _batch_expected(spark, full)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        expect.astype({"start_idx": "int64", "end_idx": "int64"}).reset_index(
+            drop=True
+        ),
+    )
+    assert len(got) > 0
+
+
+def test_stream_matches_with_capped_drain(spark, tmp_path):
+    """max_emit_per_batch splits one conversation's drain across many
+    triggers; the carry must stitch matches across every split.
+    NOTE: ProcessingTimeTimeout queries never quiesce under
+    processAllAvailable — drive with a trigger and poll the sink."""
+    import time
+
+    from streaming_utils import StagedStream
+    from dataflow_ordered_processing_spark.streaming import ordered_stream
+
+    full = scenarios.conversation(7, 12)
+    shuffled = full.sample(frac=1.0, random_state=3)
+    cfg = OrderedStreamConfig(
+        pattern=STEPS, max_emit_per_batch=2, status_heartbeat_ms=300
+    )
+    src = StagedStream(spark, str(tmp_path))
+    name = "cep_capped"
+    q = (
+        ordered_stream(src.source(), cfg)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        src.push(shuffled)
+        _, _, matches_df = split_output_cep(spark.table(name))
+        expect = _batch_expected(spark, full)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if matches_df.count() >= len(expect):
+                break
+            time.sleep(0.5)  # timer-driven drains flush the capped remainder
+        got = matches_df.orderBy("conv_id", "start_idx").toPandas()
+    finally:
+        q.stop()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        expect.astype({"start_idx": "int64", "end_idx": "int64"}).reset_index(
+            drop=True
+        ),
+    )
+
+
+def test_stream_within_bound_applies(spark, tmp_path):
+    full = scenarios.conversation(3, 16)  # strict-triple spans 48/71/53/73/63 s
+    cfg = OrderedStreamConfig(pattern=STEPS, pattern_within_s=60)
+    got = _stream_matches(spark, tmp_path, [full], cfg)
+    expect = _batch_expected(spark, full, within=60)
+    assert len(got) == len(expect)
+    assert len(got) < len(_batch_expected(spark, full))  # bound actually cuts
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        expect.astype({"start_idx": "int64", "end_idx": "int64"}).reset_index(
+            drop=True
+        ),
+    )
+
+
+def test_plain_stream_unchanged_without_pattern(spark, tmp_path):
+    """No pattern → legacy schemas: the unified output has no match columns
+    (checkpoint/state compat for every existing deployment)."""
+    full = scenarios.conversation(1, 5)
+    q, name, _ = run_to_memory(spark, str(tmp_path), [full], cfg=None)
+    try:
+        cols = spark.table(name).columns
+    finally:
+        q.stop()
+    assert "match_start_idx" not in cols
