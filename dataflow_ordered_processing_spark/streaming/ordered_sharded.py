@@ -62,12 +62,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators import cep_core
 from ..operators import ordered_core as core
-from ..schemas import STREAM_OUTPUT_SCHEMA
+from ..schemas import STREAM_OUTPUT_SCHEMA, STREAM_OUTPUT_SCHEMA_CEP
 from .ordered_stream import (
     OrderedStreamConfig,
     _DEPTH_COLS,
+    _MATCH_COLS,
     _STATUS_COLS,
+    _pad_cep,
 )
 
 SHARD_STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
@@ -139,6 +142,41 @@ def _shard_data_frame(conv_ids: list[np.ndarray], parts: list[dict]) -> pd.DataF
     )
 
 
+def _shard_match_frame(conv_ids: list[np.ndarray], parts: list[dict]) -> pd.DataFrame:
+    """One STREAM_OUTPUT_SCHEMA_CEP frame of match rows for every pattern
+    match this shard found this batch (row_type='match')."""
+    conv = np.concatenate(conv_ids)
+    n = len(conv)
+    cols = {
+        c: np.concatenate([p[c] for p in parts])
+        for c in ("start_idx", "end_idx", "ts_first_us", "ts_last_us")
+    }
+    nan = np.full(n, np.nan)
+    none = np.full(n, None, dtype=object)
+    null_ts = pd.Series(np.full(n, None), dtype="datetime64[us]")
+    return pd.DataFrame(
+        {
+            "row_type": np.full(n, "match", dtype=object),
+            "conv_id": conv,
+            "turn_idx": nan,
+            "role": none,
+            "text": none,
+            "tool": none,
+            "ts": null_ts,
+            "emit_seq": nan,
+            **{c: nan for c in _DEPTH_COLS},
+            "status_ts": null_ts,
+            **{c: nan for c in _STATUS_COLS if c != "last_event_received"},
+            "last_event_received": none,
+            "match_start_idx": cols["start_idx"],
+            "match_end_idx": cols["end_idx"],
+            "match_ts_first": cols["ts_first_us"].view("M8[us]"),
+            "match_ts_last": cols["ts_last_us"].view("M8[us]"),
+            "match_span_us": cols["ts_last_us"] - cols["ts_first_us"],
+        }
+    )
+
+
 def _shard_status_frame(statuses: list[dict]) -> pd.DataFrame:
     from datetime import datetime, timezone
 
@@ -168,6 +206,7 @@ def _shard_status_frame(statuses: list[dict]) -> pd.DataFrame:
 # strings, so they can never collide.
 _HB_AT = 0  # wall clock of the last heartbeat sweep
 _TOMBS = 1  # side map {conv_id: tombstone} of COMPLETED conversations
+_CEP = 2  # side map {conv_id: carry tuple} — trailing (k-1) emitted turns
 
 
 def _tomb_from_state(st: core.OrderedState) -> tuple:
@@ -216,15 +255,26 @@ def _conv_dumps(st: core.OrderedState) -> bytes:
 
 
 def make_sharded_func(cfg: OrderedStreamConfig):
+    has_cep = cfg.pattern is not None
+    steps = tuple(cfg.pattern) if has_cep else ()
+    within_us = (
+        cfg.pattern_within_s * 1_000_000
+        if has_cep and cfg.pattern_within_s is not None
+        else None
+    )
+
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         import time
 
         states: dict = (
             pickle.loads(state.get[0]) if state.exists else {}
         )
+        cep_map: dict = states.get(_CEP, {}) if has_cep else {}
 
         data_convs: list[np.ndarray] = []
         data_parts: list[dict] = []
+        match_convs: list[np.ndarray] = []
+        match_parts: list[dict] = []
         statuses: list[dict] = []
 
         def run_conv(conv_id: str, st: core.OrderedState, batch) -> int:
@@ -235,6 +285,17 @@ def make_sharded_func(cfg: OrderedStreamConfig):
             if n:
                 data_convs.append(np.full(n, conv_id, dtype=object))
                 data_parts.append(emitted)
+                if has_cep:
+                    run = {c: emitted[c] for c in cep_core.CEP_COLS}
+                    carry = cep_map.get(conv_id)
+                    matches, carry = cep_core.match_strict(
+                        steps, run, carry, within_us
+                    )
+                    cep_map[conv_id] = carry
+                    m = len(matches["start_idx"])
+                    if m:
+                        match_convs.append(np.full(m, conv_id, dtype=object))
+                        match_parts.append(matches)
             return n
 
         def heartbeat_sweep(skip: set) -> None:
@@ -262,6 +323,7 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 # engine guard: ordered_stream.py `evict and not len(emitted)`)
                 if evict and n_emitted == 0:
                     del states[conv_id]
+                    cep_map.pop(conv_id, None)
                 elif st.complete:
                     # a capped drain just finished the conversation — same
                     # completion contract as the arrival path: eager cleanup
@@ -269,6 +331,8 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                     del states[conv_id]
                     if not cfg.cleanup_on_complete:
                         states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
+                    else:
+                        cep_map.pop(conv_id, None)
                 else:
                     states[conv_id] = _conv_dumps(st)
             if cfg.evict_idle_after_heartbeats is not None and _TOMBS in states:
@@ -280,6 +344,7 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                     age = t[8] + 1
                     if age >= cfg.evict_idle_after_heartbeats:
                         del tombs[conv_id]  # silent: counters frozen, no gap
+                        cep_map.pop(conv_id, None)
                     else:
                         tombs[conv_id] = (*t[:8], age)
             states[_HB_AT] = time.time()
@@ -334,6 +399,7 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                     touched.pop(conv_id, None)
                     if cfg.cleanup_on_complete:
                         states.get(_TOMBS, {}).pop(conv_id, None)
+                        cep_map.pop(conv_id, None)
                     else:
                         states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
                 else:
@@ -367,9 +433,14 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 elif (time.time() - hb_at) * 1000.0 >= cfg.status_heartbeat_ms:
                     heartbeat_sweep(skip=arrived)
 
+        if has_cep:
+            if cep_map:
+                states[_CEP] = cep_map
+            else:
+                states.pop(_CEP, None)
         if _TOMBS in states and not states[_TOMBS]:
             del states[_TOMBS]
-        active_keys = states.keys() - {_HB_AT, _TOMBS}
+        active_keys = states.keys() - {_HB_AT, _TOMBS, _CEP}
         if active_keys or states.get(_TOMBS):
             state.update((pickle.dumps(states, protocol=5),))
             # a shard holding ONLY tombstones needs a timer iff a TTL will
@@ -383,9 +454,13 @@ def make_sharded_func(cfg: OrderedStreamConfig):
             state.remove()
 
         if data_parts:
-            yield _shard_data_frame(data_convs, data_parts)
+            df = _shard_data_frame(data_convs, data_parts)
+            yield _pad_cep(df) if has_cep else df
+        if match_parts:
+            yield _shard_match_frame(match_convs, match_parts)
         if statuses:
-            yield _shard_status_frame(statuses)
+            df = _shard_status_frame(statuses)
+            yield _pad_cep(df) if has_cep else df
 
     return func
 
@@ -405,11 +480,14 @@ def ordered_stream_sharded(
     sharded = df.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_shards)).cast("int")
     )
+    out_schema = (
+        STREAM_OUTPUT_SCHEMA_CEP if cfg.pattern is not None else STREAM_OUTPUT_SCHEMA
+    )
     return (
         sharded.groupBy("_shard")
         .applyInPandasWithState(
             make_sharded_func(cfg),
-            outputStructType=STREAM_OUTPUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=SHARD_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=timeout,

@@ -134,3 +134,43 @@ def test_plain_stream_unchanged_without_pattern(spark, tmp_path):
     finally:
         q.stop()
     assert "match_start_idx" not in cols
+
+
+def test_sharded_stream_matches_equal_batch(spark, tmp_path):
+    """The sharded engine's matcher (carry in the shard dict's _CEP side
+    map) finds exactly the batch matches too — same two-batch out-of-order
+    arrival as the classic test, state keyed by shard instead of conv."""
+    full = pd.concat(
+        [scenarios.conversation(c, 13) for c in range(4)], ignore_index=True
+    )
+    b1 = full[full.turn_idx % 2 == 0]
+    b2 = pd.concat([full[full.turn_idx % 2 == 1], full.head(5)], ignore_index=True)
+    cfg = OrderedStreamConfig(pattern=STEPS)
+    q, name, _ = run_to_memory(
+        spark, str(tmp_path), [b1, b2], cfg=cfg, engine="sharded", n_shards=4
+    )
+    try:
+        _, _, matches = split_output_cep(spark.table(name))
+        got = matches.orderBy("conv_id", "start_idx").toPandas()
+    finally:
+        q.stop()
+    expect = _batch_expected(spark, full)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        expect.astype({"start_idx": "int64", "end_idx": "int64"}).reset_index(
+            drop=True
+        ),
+    )
+    assert len(got) > 0
+
+
+def test_sharded_plain_stream_unchanged_without_pattern(spark, tmp_path):
+    full = scenarios.conversation(1, 5)
+    q, name, _ = run_to_memory(
+        spark, str(tmp_path), [full], cfg=None, engine="sharded", n_shards=2
+    )
+    try:
+        cols = spark.table(name).columns
+    finally:
+        q.stop()
+    assert "match_start_idx" not in cols
