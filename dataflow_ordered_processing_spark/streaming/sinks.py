@@ -83,17 +83,22 @@ class SinkConfig:
     compact_status_keep_last: int | None = None
 
 
-def row_violation(cfg: SinkConfig) -> F.Column:
+def row_violation(cfg: SinkConfig, columns: list[str] | None = None) -> F.Column:
     """First violated sink constraint per row (NULL = row is clean) — the
     row-level analog of a failed BigQuery insert. Pure codegen CASE WHEN; no
-    Python in the validation path."""
+    Python in the validation path. ``columns`` (the batch's column list)
+    gates checks on optional schema variants (CEP match columns)."""
+    # 'match' is a legal row_type only for CEP streams (their schema carries
+    # the match columns) — a stray 'match' row in a plain stream is a defect
+    has_match = columns is not None and "match_start_idx" in columns
+    allowed = ["data", "status", "match"] if has_match else ["data", "status"]
     checks: list[tuple[str, F.Column]] = [
         ("null_key", F.col("conv_id").isNull()),
         # NB: isin is three-valued — a NULL row_type makes ~isin(...) NULL
         # (not true), which would slip past the filter; test NULL explicitly
         (
             "bad_row_type",
-            F.col("row_type").isNull() | ~F.col("row_type").isin("data", "status"),
+            F.col("row_type").isNull() | ~F.col("row_type").isin(*allowed),
         ),
         (
             "bad_turn_idx",
@@ -101,6 +106,20 @@ def row_violation(cfg: SinkConfig) -> F.Column:
             & (F.col("turn_idx").isNull() | (F.col("turn_idx") < 1)),
         ),
     ]
+    if has_match:
+        # CEP streams only (the match columns exist solely in the *_CEP
+        # schema): a match row must carry a sane [start, end] span
+        checks.append(
+            (
+                "bad_match_span",
+                (F.col("row_type") == "match")
+                & (
+                    F.col("match_start_idx").isNull()
+                    | F.col("match_end_idx").isNull()
+                    | (F.col("match_end_idx") < F.col("match_start_idx"))
+                ),
+            )
+        )
     if cfg.max_text_bytes is not None:
         checks.append(
             (
@@ -402,7 +421,7 @@ def split_sink(cfg: SinkConfig):
                 # operator's output is computed once even though two writes
                 # consume it.
                 persisted = unified.withColumn(
-                    "dlq_error", row_violation(cfg)
+                    "dlq_error", row_violation(cfg, batch_df.columns)
                 ).persist()
                 bad = persisted.filter(F.col("dlq_error").isNotNull())
                 if not bad.isEmpty():
@@ -830,8 +849,8 @@ def epoch_dirs(base: str) -> list[str]:
 
 
 def read_sink(spark: SparkSession, base: str, table: str = "data") -> DataFrame:
-    """Read the data or status table back from the unified epoch sink.
-    row_type filter + column pruning push down to the parquet scan."""
+    """Read the data, status, or matches table back from the unified epoch
+    sink. row_type filter + column pruning push down to the parquet scan."""
     from .ordered_stream import _DATA_COLS, _STATUS_COLS
 
     # no basePath: the dir set mixes epoch=N and compact=L-lo-hi names, so
@@ -843,6 +862,16 @@ def read_sink(spark: SparkSession, base: str, table: str = "data") -> DataFrame:
     if table == "data":
         return unified.filter(F.col("row_type") == "data").select(
             "conv_id", *_DATA_COLS, "ingest_ts"
+        )
+    if table == "matches":
+        # CEP sinks only (pattern-configured streams): natural match schema
+        return unified.filter(F.col("row_type") == "match").select(
+            "conv_id",
+            F.col("match_start_idx").alias("start_idx"),
+            F.col("match_end_idx").alias("end_idx"),
+            F.col("match_ts_first").alias("ts_first"),
+            F.col("match_ts_last").alias("ts_last"),
+            F.col("match_span_us").alias("span_us"),
         )
     return unified.filter(F.col("row_type") == "status").select(
         "conv_id", "status_ts", *_STATUS_COLS
@@ -992,7 +1021,19 @@ def console_stream(df: DataFrame, n: int = 20):
     ).start()
 
 
-def _check_engine_marker(checkpoint: str, engine: str, n_shards: int | None) -> None:
+def _pattern_spec(pattern) -> list | None:
+    """Canonical JSON form of a CEP pattern for the checkpoint marker."""
+    if pattern is None:
+        return None
+    return [[s.name, s.role, s.tool] for s in pattern]
+
+
+def _check_engine_marker(
+    checkpoint: str,
+    engine: str,
+    n_shards: int | None,
+    pattern_spec: list | None = None,
+) -> None:
     """Pin (engine, n_shards) to the checkpoint on first start; fail fast on
     mismatch at resume. n_shards is baked into the sharded engine's state
     key (pmod(xxhash64(conv_id), n_shards)) — resuming with a different
@@ -1006,7 +1047,11 @@ def _check_engine_marker(checkpoint: str, engine: str, n_shards: int | None) -> 
     if not os.path.isdir(path):  # first start — checkpoint not created yet
         os.makedirs(path, exist_ok=True)
     marker = os.path.join(path, "_ordered_engine.json")
-    current = {"engine": engine, "n_shards": n_shards if engine == "sharded" else None}
+    current = {
+        "engine": engine,
+        "n_shards": n_shards if engine == "sharded" else None,
+        "pattern": pattern_spec,
+    }
     if not os.path.exists(marker) and os.path.isdir(os.path.join(path, "offsets")):
         # committed streaming state exists but predates the marker — its
         # n_shards is unknowable, so resuming under ANY assumed value may
@@ -1025,6 +1070,9 @@ def _check_engine_marker(checkpoint: str, engine: str, n_shards: int | None) -> 
 
         with open(marker) as f:
             prior = json.load(f)
+        # pre-CEP markers carry no "pattern" key; they pinned pattern-less
+        # configs, so normalize rather than refusing every old checkpoint
+        prior.setdefault("pattern", None)
         if prior != current:
             raise ValueError(
                 f"checkpoint {checkpoint!r} was written by engine config "
@@ -1062,7 +1110,12 @@ def start_ordered_pipeline(
     if engine == "sharded":
         n_shards = resolve_n_shards(source, n_shards)
     if sink.checkpoint:
-        _check_engine_marker(sink.checkpoint, engine, n_shards)
+        _check_engine_marker(
+            sink.checkpoint,
+            engine,
+            n_shards,
+            _pattern_spec(stream_cfg.pattern if stream_cfg else None),
+        )
     unified = build_ordered_stream(source, stream_cfg, engine=engine, n_shards=n_shards)
     writer = (
         unified.writeStream.outputMode("append")

@@ -229,6 +229,23 @@ def _check_hot_marker(
         _json.dump(current, f)
 
 
+def parse_pattern(spec: str):
+    """'u=user,a=assistant,c=tool/code' → tuple of cep_core.Step. Each step
+    is name=role, name=role/tool, or name=/tool (tool-only predicate)."""
+    from dataflow_ordered_processing_spark.operators.cep_core import Step
+
+    steps = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part or "=" not in part:
+            raise ValueError(f"bad pattern step {part!r} (want name=role[/tool])")
+        name, pred = part.split("=", 1)
+        role, _, tool = pred.partition("/")
+        steps.append(Step(name.strip(), role=role.strip() or None,
+                          tool=tool.strip() or None))
+    return tuple(steps)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", required=True, help="directory of arrival parquet files")
@@ -371,6 +388,23 @@ def main() -> int:
         "per key should set this (e.g. 16)",
     )
     ap.add_argument(
+        "--pattern",
+        default=None,
+        help="CEP: match a strict-contiguity pattern over the in-order "
+        "emission and land the matches in the sink as row_type='match' "
+        "rows (read back with read_sink(..., table='matches')). Comma-"
+        "separated steps 'name=role' or 'name=role/tool' or 'name=/tool', "
+        "e.g. 'u=user,a=assistant,c=tool/code'. The pattern is pinned in "
+        "the checkpoint engine marker (the state schema depends on it)",
+    )
+    ap.add_argument(
+        "--pattern-within-s",
+        type=int,
+        default=None,
+        help="CEP within bound: drop matches whose first-to-last turn "
+        "timestamp span exceeds this many seconds",
+    )
+    ap.add_argument(
         "--merge-on-key",
         action="store_true",
         help="paranoid exactly-once: additionally drop data rows at or below "
@@ -408,9 +442,12 @@ def main() -> int:
         BufferMetricsListener(os.path.join(args.out, "metrics.jsonl"))
     )
 
+    pattern = parse_pattern(args.pattern) if args.pattern else None
     cfg = OrderedStreamConfig(
         status_heartbeat_ms=args.heartbeat_ms,
         evict_idle_after_heartbeats=args.evict_idle_heartbeats,
+        pattern=pattern,
+        pattern_within_s=args.pattern_within_s,
     )
     sink = SinkConfig(
         data_path=os.path.join(args.out, "data"),
@@ -488,7 +525,11 @@ def main() -> int:
     n_shards = args.n_shards
     if args.engine == "sharded":
         n_shards = resolve_n_shards(src, n_shards)
-    _check_engine_marker(args.checkpoint, args.engine, n_shards)
+    from dataflow_ordered_processing_spark.streaming.sinks import _pattern_spec
+
+    _check_engine_marker(
+        args.checkpoint, args.engine, n_shards, _pattern_spec(pattern)
+    )
     unified = build_ordered_stream(src, cfg, engine=args.engine, n_shards=n_shards)
     writer = (
         unified.writeStream.outputMode("append")

@@ -174,3 +174,95 @@ def test_sharded_plain_stream_unchanged_without_pattern(spark, tmp_path):
     finally:
         q.stop()
     assert "match_start_idx" not in cols
+
+
+def test_pipeline_sink_lands_match_rows(spark, tmp_path):
+    """End-to-end: a pattern-configured pipeline lands match rows in the
+    unified epoch sink (row_type='match'); read_sink(..., 'matches') reads
+    them back with the natural schema, and the batch operator agrees."""
+    import os
+
+    from dataflow_ordered_processing_spark.streaming import (
+        start_ordered_pipeline,
+    )
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        SinkConfig,
+        read_sink,
+    )
+    from streaming_utils import StagedStream
+
+    full = pd.concat(
+        [scenarios.conversation(c, 10) for c in range(3)], ignore_index=True
+    )
+    base = str(tmp_path)
+    sink = SinkConfig(
+        data_path=os.path.join(base, "data"),
+        dlq_path=os.path.join(base, "dlq"),
+        checkpoint=os.path.join(base, "ckpt"),
+    )
+    cfg = OrderedStreamConfig(pattern=STEPS)
+    st = StagedStream(spark, base)
+    q = start_ordered_pipeline(st.source(), sink, cfg)
+    try:
+        st.push(full.sample(frac=1.0, random_state=9))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        read_sink(spark, sink.data_path, table="matches")
+        .orderBy("conv_id", "start_idx")
+        .toPandas()
+    )
+    expect = _batch_expected(spark, full)
+    assert len(got) == len(expect) > 0
+    assert got[["conv_id"]].equals(expect[["conv_id"]])
+    assert got["start_idx"].tolist() == expect["start_idx"].astype("int64").tolist()
+    # data rows unaffected, and nothing got DLQ'd
+    assert read_sink(spark, sink.data_path).count() == len(full)
+    assert not os.path.exists(os.path.join(base, "dlq"))
+
+
+def test_pipeline_marker_pins_pattern(spark, tmp_path):
+    """Resuming a pattern checkpoint with a DIFFERENT pattern (or none) is
+    refused by the engine marker before the state store can mismatch."""
+    import os
+
+    import pytest as _pytest
+
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        _check_engine_marker,
+        _pattern_spec,
+    )
+
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    _check_engine_marker(ckpt, "classic", None, _pattern_spec(STEPS))
+    # same pattern: fine
+    _check_engine_marker(ckpt, "classic", None, _pattern_spec(STEPS))
+    with _pytest.raises(ValueError, match="cannot resume"):
+        _check_engine_marker(ckpt, "classic", None, None)
+    with _pytest.raises(ValueError, match="cannot resume"):
+        _check_engine_marker(
+            ckpt, "classic", None, _pattern_spec(STEPS[:2])
+        )
+    # pre-CEP marker (no "pattern" key) still resumes pattern-less configs
+    import json
+
+    ckpt2 = os.path.join(str(tmp_path), "ckpt2")
+    os.makedirs(ckpt2)
+    with open(os.path.join(ckpt2, "_ordered_engine.json"), "w") as f:
+        json.dump({"engine": "classic", "n_shards": None}, f)
+    _check_engine_marker(ckpt2, "classic", None, None)
+
+
+def test_parse_pattern_cli():
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from run_pipeline import parse_pattern
+
+    steps = parse_pattern("u=user,a=assistant,c=tool/code,s=/search")
+    assert [s.name for s in steps] == ["u", "a", "c", "s"]
+    assert steps[2].role == "tool" and steps[2].tool == "code"
+    assert steps[3].role is None and steps[3].tool == "search"
+    with pytest.raises(ValueError):
+        parse_pattern("nonsense")
