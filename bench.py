@@ -172,6 +172,8 @@ def main() -> int:
     run("revenue_by_nation", lambda: E._q_revenue_by_nation(spark, sf_dir).count())
     run("doc_length_stats", lambda: E._q_doc_length_stats(spark, sf_dir).count())
     run("stream_dedup", lambda: E._q_stream_dedup(spark, sf_dir).count())
+    run("cep_strict", lambda: E._q_cep_strict(spark, sf_dir).count())
+    run("cep_funnel", lambda: E._q_cep_funnel(spark, sf_dir).count())
 
     # staging is throwaway: leaving it accumulates in /tmp (or worse, tmpfs)
     # across bench runs — the round-2 contamination lesson
