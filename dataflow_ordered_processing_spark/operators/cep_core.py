@@ -57,11 +57,16 @@ class Step:
 
     @property
     def sql(self) -> str:
+        # SQL-escape by doubling quotes (review r6c: an unescaped value
+        # would break — or worse, rewrite — the predicate fed to F.expr)
+        def q(v: str) -> str:
+            return v.replace("'", "''")
+
         parts = []
         if self.role is not None:
-            parts.append(f"role = '{self.role}'")
+            parts.append(f"role = '{q(self.role)}'")
         if self.tool is not None:
-            parts.append(f"tool = '{self.tool}'")
+            parts.append(f"tool = '{q(self.tool)}'")
         return " AND ".join(parts)
 
     def mask(self, cols: dict) -> np.ndarray:

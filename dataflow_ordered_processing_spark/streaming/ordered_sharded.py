@@ -68,8 +68,8 @@ from ..schemas import STREAM_OUTPUT_SCHEMA, STREAM_OUTPUT_SCHEMA_CEP
 from .ordered_stream import (
     OrderedStreamConfig,
     _DEPTH_COLS,
-    _MATCH_COLS,
     _STATUS_COLS,
+    _match_frame,
     _pad_cep,
 )
 
@@ -138,41 +138,6 @@ def _shard_data_frame(conv_ids: list[np.ndarray], parts: list[dict]) -> pd.DataF
             "status_ts": pd.Series(np.full(n, None), dtype="datetime64[us]"),
             **{c: nan for c in _STATUS_COLS if c != "last_event_received"},
             "last_event_received": np.full(n, None, dtype=object),
-        }
-    )
-
-
-def _shard_match_frame(conv_ids: list[np.ndarray], parts: list[dict]) -> pd.DataFrame:
-    """One STREAM_OUTPUT_SCHEMA_CEP frame of match rows for every pattern
-    match this shard found this batch (row_type='match')."""
-    conv = np.concatenate(conv_ids)
-    n = len(conv)
-    cols = {
-        c: np.concatenate([p[c] for p in parts])
-        for c in ("start_idx", "end_idx", "ts_first_us", "ts_last_us")
-    }
-    nan = np.full(n, np.nan)
-    none = np.full(n, None, dtype=object)
-    null_ts = pd.Series(np.full(n, None), dtype="datetime64[us]")
-    return pd.DataFrame(
-        {
-            "row_type": np.full(n, "match", dtype=object),
-            "conv_id": conv,
-            "turn_idx": nan,
-            "role": none,
-            "text": none,
-            "tool": none,
-            "ts": null_ts,
-            "emit_seq": nan,
-            **{c: nan for c in _DEPTH_COLS},
-            "status_ts": null_ts,
-            **{c: nan for c in _STATUS_COLS if c != "last_event_received"},
-            "last_event_received": none,
-            "match_start_idx": cols["start_idx"],
-            "match_end_idx": cols["end_idx"],
-            "match_ts_first": cols["ts_first_us"].view("M8[us]"),
-            "match_ts_last": cols["ts_last_us"].view("M8[us]"),
-            "match_span_us": cols["ts_last_us"] - cols["ts_first_us"],
         }
     )
 
@@ -329,10 +294,9 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                     # completion contract as the arrival path: eager cleanup
                     # under cleanup_on_complete, else a compact tombstone
                     del states[conv_id]
+                    cep_map.pop(conv_id, None)  # compact tombstone (see arrival path)
                     if not cfg.cleanup_on_complete:
                         states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
-                    else:
-                        cep_map.pop(conv_id, None)
                 else:
                     states[conv_id] = _conv_dumps(st)
             if cfg.evict_idle_after_heartbeats is not None and _TOMBS in states:
@@ -397,9 +361,12 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 if st.complete:
                     states.pop(conv_id, None)
                     touched.pop(conv_id, None)
+                    # completed conv: drop the carry in every case (review
+                    # r6c — a tombstone must stay ~50 bytes; the final
+                    # sentinel delimits pattern scope)
+                    cep_map.pop(conv_id, None)
                     if cfg.cleanup_on_complete:
                         states.get(_TOMBS, {}).pop(conv_id, None)
-                        cep_map.pop(conv_id, None)
                     else:
                         states.setdefault(_TOMBS, {})[conv_id] = _tomb_from_state(st)
                 else:
@@ -457,7 +424,15 @@ def make_sharded_func(cfg: OrderedStreamConfig):
             df = _shard_data_frame(data_convs, data_parts)
             yield _pad_cep(df) if has_cep else df
         if match_parts:
-            yield _shard_match_frame(match_convs, match_parts)
+            # ONE builder shared with the classic engine (review r6c):
+            # concatenate the per-conv match columns, pass the conv array
+            yield _match_frame(
+                np.concatenate(match_convs),
+                {
+                    c: np.concatenate([p[c] for p in match_parts])
+                    for c in ("start_idx", "end_idx", "ts_first_us", "ts_last_us")
+                },
+            )
         if statuses:
             df = _shard_status_frame(statuses)
             yield _pad_cep(df) if has_cep else df

@@ -86,11 +86,18 @@ class OrderedStreamConfig:
     evict_idle_after_heartbeats: int | None = None
     # CEP (north rule "structured-streaming / CEP engine"): a tuple of
     # cep_core.Step — strict-contiguity pattern matched over the in-order
-    # EMITTED turns, exactly once per match even across micro-batch
-    # boundaries (a (k-1)-turn carry rides in the state). Matches surface as
-    # row_type='match' rows; output/state use the *_CEP schema variants, so
-    # enabling a pattern on an existing checkpoint is refused by the state
-    # store's schema-compat check rather than silently mismatching.
+    # EMITTED turns, once per match even across micro-batch boundaries and
+    # capped drains (a (k-1)-turn carry rides in the state; dropped when the
+    # conversation completes — the final sentinel delimits pattern scope).
+    # Exactly-once at the sink mirrors the data rows' contract: epoch
+    # idempotency covers crash replay; under cleanup_on_complete=True (or a
+    # TTL eviction) re-delivered turns re-emit AND re-match, and
+    # SinkConfig.merge_on_key dedupes BOTH (a match whose end turn is at or
+    # below the conversation's committed watermark is dropped with them).
+    # Matches surface as row_type='match' rows; output/state use the *_CEP
+    # schema variants, so enabling a pattern on an existing checkpoint is
+    # refused by the state store's schema-compat check rather than silently
+    # mismatching.
     pattern: tuple | None = None
     pattern_within_s: int | None = None  # FlinkCEP within() on first→last ts
 
@@ -205,15 +212,21 @@ def _pad_cep(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _match_frame(conv_id: str, matches: dict) -> pd.DataFrame:
+def _match_frame(conv, matches: dict) -> pd.DataFrame:
+    """STREAM_OUTPUT_SCHEMA_CEP frame of match rows. ``conv`` is a single
+    conv_id (classic engine) or a per-match ndarray (sharded engine) — ONE
+    builder so the match-row layout can never drift between engines."""
     n = len(matches["start_idx"])
+    conv_arr = (
+        conv if isinstance(conv, np.ndarray) else np.full(n, conv, dtype=object)
+    )
     none = np.full(n, None, dtype=object)
     nan = np.full(n, np.nan)
     null_ts = pd.Series(np.full(n, None), dtype="datetime64[us]")
     return pd.DataFrame(
         {
             "row_type": np.full(n, "match", dtype=object),
-            "conv_id": np.full(n, conv_id, dtype=object),
+            "conv_id": conv_arr,
             "turn_idx": nan,
             "role": none,
             "text": none,
@@ -316,6 +329,11 @@ def make_ordered_func(cfg: OrderedStreamConfig):
                 state.remove()
             else:
                 t_new = _state_to_tuple(st)
+                if has_cep and st.complete:
+                    # completed conv = frozen tombstone; drop the carry so
+                    # the tombstone stays compact (review r6c) — the final
+                    # sentinel delimits pattern scope
+                    carry = cep_core.empty_carry()
                 state.update(t_new + _carry_fields(carry) if has_cep else t_new)
                 if cfg.status_heartbeat_ms and (
                     not st.complete or cfg.evict_idle_after_heartbeats is not None
@@ -354,6 +372,8 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             state.remove()  # O4: eager cleanup on last event (examiner contract)
         else:
             t_new = _state_to_tuple(st)
+            if has_cep and st.complete:
+                carry = cep_core.empty_carry()  # compact tombstone (see timer path)
             state.update(t_new + _carry_fields(carry) if has_cep else t_new)
             # completed keys are frozen tombstones — re-arm the timer only
             # when a TTL exists to eventually evict them; otherwise heartbeat

@@ -354,20 +354,27 @@ def _keyidx_compact(spark: SparkSession, data_path: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def _merge_fresh_data(
-    spark: SparkSession, data_path: str, data_rows: DataFrame
+def _merge_fresh(
+    spark: SparkSession,
+    data_path: str,
+    rows: DataFrame,
+    idx_col: str,
+    maintain: bool = True,
 ) -> DataFrame:
-    """Drop batch data rows at-or-below their conversation's sink high
-    watermark. Correct because the ordered operator's emission is contiguous
-    per conversation (O7): turn_idx ≤ hi_turn ⟺ the key already landed."""
-    _keyidx_catchup(spark, data_path)
-    _keyidx_compact(spark, data_path)
+    """Drop batch rows at-or-below their conversation's sink high watermark
+    (compared on ``idx_col``). Correct because the ordered operator's
+    emission is contiguous per conversation (O7): turn ≤ hi_turn ⟺ the key
+    already landed. ``maintain=False`` skips the (idempotent) index
+    catchup/compact when a prior call this batch already ran it."""
+    if maintain:
+        _keyidx_catchup(spark, data_path)
+        _keyidx_compact(spark, data_path)
     # the batch's bucket set: ≤ _KEYIDX_BUCKETS small ints — bounded plan-
     # build metadata (same class as the IVF codebook collect), lets the
     # compact read prune to the buckets this batch can possibly collide with
     buckets = [
         r["b"]
-        for r in data_rows.select(_kbucket(F.col("conv_id")).alias("b"))
+        for r in rows.select(_kbucket(F.col("conv_id")).alias("b"))
         .distinct()
         .collect()
     ]
@@ -377,10 +384,16 @@ def _merge_fresh_data(
         .agg(F.max("hi_turn").alias("hi_turn"))
     )
     return (
-        data_rows.join(idx, "conv_id", "left")
-        .filter(F.col("hi_turn").isNull() | (F.col("turn_idx") > F.col("hi_turn")))
+        rows.join(idx, "conv_id", "left")
+        .filter(F.col("hi_turn").isNull() | (F.col(idx_col) > F.col("hi_turn")))
         .drop("hi_turn")
     )
+
+
+def _merge_fresh_data(
+    spark: SparkSession, data_path: str, data_rows: DataFrame
+) -> DataFrame:
+    return _merge_fresh(spark, data_path, data_rows, "turn_idx")
 
 
 def _write_idempotent(df: DataFrame, base: str, epoch_id: int) -> None:
@@ -441,9 +454,26 @@ def split_sink(cfg: SinkConfig):
                 fresh_data = _merge_fresh_data(
                     spark, cfg.data_path, unified.filter(F.col("row_type") == "data")
                 )
-                unified = fresh_data.unionByName(
-                    unified.filter(F.col("row_type") != "data")
-                )
+                if "match_start_idx" in batch_df.columns:
+                    # match rows need the same cross-epoch dedupe (review
+                    # r6c): under eager state cleanup, re-delivered turns
+                    # re-emit AND re-match; a match whose END turn is at or
+                    # below the conversation's committed watermark was
+                    # already emitted with those turns — drop it like them
+                    fresh_match = _merge_fresh(
+                        spark,
+                        cfg.data_path,
+                        unified.filter(F.col("row_type") == "match"),
+                        "match_end_idx",
+                        maintain=False,
+                    )
+                    unified = fresh_data.unionByName(fresh_match).unionByName(
+                        unified.filter(~F.col("row_type").isin("data", "match"))
+                    )
+                else:
+                    unified = fresh_data.unionByName(
+                        unified.filter(F.col("row_type") != "data")
+                    )
             try:
                 if cfg.iceberg_table:
                     spark = batch_df.sparkSession
@@ -1021,18 +1051,24 @@ def console_stream(df: DataFrame, n: int = 20):
     ).start()
 
 
-def _pattern_spec(pattern) -> list | None:
-    """Canonical JSON form of a CEP pattern for the checkpoint marker."""
+def _pattern_spec(pattern, within_s: int | None = None) -> dict | None:
+    """Canonical JSON form of a CEP pattern for the checkpoint marker. The
+    within bound is part of match semantics (review r6c: resuming with a
+    different bound would silently change what counts as a match), so it is
+    pinned too."""
     if pattern is None:
         return None
-    return [[s.name, s.role, s.tool] for s in pattern]
+    return {
+        "steps": [[s.name, s.role, s.tool] for s in pattern],
+        "within_s": within_s,
+    }
 
 
 def _check_engine_marker(
     checkpoint: str,
     engine: str,
     n_shards: int | None,
-    pattern_spec: list | None = None,
+    pattern_spec: dict | None = None,
 ) -> None:
     """Pin (engine, n_shards) to the checkpoint on first start; fail fast on
     mismatch at resume. n_shards is baked into the sharded engine's state
@@ -1114,7 +1150,10 @@ def start_ordered_pipeline(
             sink.checkpoint,
             engine,
             n_shards,
-            _pattern_spec(stream_cfg.pattern if stream_cfg else None),
+            _pattern_spec(
+                stream_cfg.pattern if stream_cfg else None,
+                stream_cfg.pattern_within_s if stream_cfg else None,
+            ),
         )
     unified = build_ordered_stream(source, stream_cfg, engine=engine, n_shards=n_shards)
     writer = (

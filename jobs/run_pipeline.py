@@ -243,6 +243,11 @@ def parse_pattern(spec: str):
         role, _, tool = pred.partition("/")
         steps.append(Step(name.strip(), role=role.strip() or None,
                           tool=tool.strip() or None))
+    if len(steps) < 2:
+        # validate BEFORE the checkpoint marker is written: a 1-step
+        # pattern would otherwise be pinned, fail inside the executors,
+        # and poison the checkpoint against the corrected pattern
+        raise ValueError("a pattern needs at least 2 steps")
     return tuple(steps)
 
 
@@ -414,6 +419,23 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    # CEP pattern: parse + conflict-check BEFORE the JVM spins up (and
+    # before any checkpoint marker is written) so a bad invocation fails in
+    # milliseconds with a clean error
+    pattern = parse_pattern(args.pattern) if args.pattern else None
+    if pattern and (args.hot_keys or args.hot_key_threshold or args.auto_hot_keys):
+        # routed conversations bypass the ordered engine (raw side channel →
+        # salted batch ordering), which never runs the CEP matcher — their
+        # matches would silently vanish from the sink (review r6c)
+        raise SystemExit(
+            "--pattern cannot be combined with hot-key routing: routed "
+            "conversations are ordered by the salted batch path, which does "
+            "not run the streaming matcher — their matches would be "
+            "silently missing. Match routed conversations with the batch "
+            "operator (plans/cep.match_pattern) over the hot channel "
+            "output instead."
+        )
+
     from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
     from dataflow_ordered_processing_spark.session import get_spark
     from dataflow_ordered_processing_spark.streaming import (
@@ -442,7 +464,6 @@ def main() -> int:
         BufferMetricsListener(os.path.join(args.out, "metrics.jsonl"))
     )
 
-    pattern = parse_pattern(args.pattern) if args.pattern else None
     cfg = OrderedStreamConfig(
         status_heartbeat_ms=args.heartbeat_ms,
         evict_idle_after_heartbeats=args.evict_idle_heartbeats,
@@ -528,7 +549,8 @@ def main() -> int:
     from dataflow_ordered_processing_spark.streaming.sinks import _pattern_spec
 
     _check_engine_marker(
-        args.checkpoint, args.engine, n_shards, _pattern_spec(pattern)
+        args.checkpoint, args.engine, n_shards,
+        _pattern_spec(pattern, args.pattern_within_s),
     )
     unified = build_ordered_stream(src, cfg, engine=args.engine, n_shards=n_shards)
     writer = (

@@ -266,3 +266,139 @@ def test_parse_pattern_cli():
     assert steps[3].role is None and steps[3].tool == "search"
     with pytest.raises(ValueError):
         parse_pattern("nonsense")
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in (the TWS tests'
+    fake-handle pattern) — lets us assert what the function SAVES."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_classic_carry_dropped_at_completion():
+    """A completed conversation's tombstone must not retain the CEP carry
+    (review r6c): the saved state tuple's carry fields are empty."""
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+        make_ordered_func,
+    )
+
+    full = scenarios.conversation(1, 6)  # ends with the system sentinel
+    cfg = OrderedStreamConfig(pattern=STEPS)
+    func = make_ordered_func(cfg)
+    state = _FakeGroupState()
+    list(func(("conv-000001",), iter([full.iloc[:4]]), state))
+    mid = state.get
+    assert len(mid) == 19 and len(mid[15]) == 2  # carry = last k-1 = 2 turns
+    list(func(("conv-000001",), iter([full.iloc[4:]]), state))
+    done = state.get
+    assert done[4] is True or done[4] == 1  # last_event_received
+    assert list(done[15]) == [] and list(done[16]) == []  # carry dropped
+
+
+def test_sharded_carry_dropped_at_completion():
+    import pickle
+
+    from dataflow_ordered_processing_spark.streaming.ordered_sharded import (
+        _CEP,
+        make_sharded_func,
+    )
+
+    full = scenarios.conversation(1, 6)
+    cfg = OrderedStreamConfig(pattern=STEPS)
+    func = make_sharded_func(cfg)
+    state = _FakeGroupState()
+    list(func((0,), iter([full.iloc[:4]]), state))
+    states = pickle.loads(state.get[0])
+    assert "conv-000001" in states.get(_CEP, {})
+    list(func((0,), iter([full.iloc[4:]]), state))
+    states = pickle.loads(state.get[0])
+    assert "conv-000001" not in states.get(_CEP, {})
+
+
+def test_match_rows_deduped_under_merge_on_key(spark, tmp_path):
+    """Eager cleanup + post-completion re-delivery re-emits AND re-matches;
+    merge_on_key must drop the duplicate match rows like the data rows."""
+    import os
+
+    from dataflow_ordered_processing_spark.streaming import (
+        start_ordered_pipeline,
+    )
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        SinkConfig,
+        read_sink,
+    )
+    from streaming_utils import StagedStream
+
+    full = scenarios.conversation(2, 7)
+    base = str(tmp_path)
+    sink = SinkConfig(
+        data_path=os.path.join(base, "data"),
+        checkpoint=os.path.join(base, "ckpt"),
+        merge_on_key=True,
+    )
+    cfg = OrderedStreamConfig(pattern=STEPS, cleanup_on_complete=True)
+    st = StagedStream(spark, base)
+    q = start_ordered_pipeline(st.source(), sink, cfg)
+    try:
+        st.push(full)
+        q.processAllAvailable()
+        st.push(full)  # full re-delivery into a fresh (removed) state
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data = read_sink(spark, sink.data_path).toPandas()
+    assert not data.duplicated(subset=["conv_id", "turn_idx"]).any()
+    matches = read_sink(spark, sink.data_path, table="matches").toPandas()
+    assert len(matches) == len(_batch_expected(spark, full))
+    assert not matches.duplicated(subset=["conv_id", "start_idx"]).any()
+
+
+def test_marker_pins_within_bound(tmp_path):
+    import os
+
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        _check_engine_marker,
+        _pattern_spec,
+    )
+
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    _check_engine_marker(ckpt, "classic", None, _pattern_spec(STEPS, 60))
+    _check_engine_marker(ckpt, "classic", None, _pattern_spec(STEPS, 60))
+    with pytest.raises(ValueError, match="cannot resume"):
+        _check_engine_marker(ckpt, "classic", None, _pattern_spec(STEPS, 3600))
+    with pytest.raises(ValueError, match="cannot resume"):
+        _check_engine_marker(ckpt, "classic", None, _pattern_spec(STEPS))
+
+
+def test_parse_pattern_rejects_single_step_and_injection():
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from run_pipeline import parse_pattern
+
+    with pytest.raises(ValueError, match="at least 2"):
+        parse_pattern("u=user")
+    # quote-bearing values render as escaped SQL, not broken predicates
+    s = Step("x", role="o'brien")
+    assert s.sql == "role = 'o''brien'"
