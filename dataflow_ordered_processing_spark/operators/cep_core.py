@@ -28,9 +28,12 @@ Match semantics (pinned by tests/test_cep.py against a pure-Python oracle):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import numpy as np
+
+_IDENT = re.compile(r"[A-Za-z0-9_.\-]+")
 
 #: columns a matcher consumes — a subset of ordered_core.BUF_COLS
 CEP_COLS = ("turn_idx", "role", "tool", "ts_us")
@@ -54,19 +57,26 @@ class Step:
         if self.role is None and self.tool is None:
             raise ValueError(f"step {self.name!r} matches every row — "
                              "set role and/or tool")
+        # role/tool are identifier-class values; rejecting everything else
+        # closes the SQL-literal injection surface COMPLETELY (review r6c/d:
+        # quote-doubling alone left backslash escapes, and Spark and DuckDB
+        # disagree on backslash semantics, so escaping can't be both safe
+        # and cross-engine-identical — validation can)
+        for field in (self.role, self.tool):
+            if field is not None and not _IDENT.fullmatch(field):
+                raise ValueError(
+                    f"step {self.name!r}: value {field!r} is not a plain "
+                    "identifier ([A-Za-z0-9_.-]+) — predicates are rendered "
+                    "as SQL literals for the batch operator and oracles"
+                )
 
     @property
     def sql(self) -> str:
-        # SQL-escape by doubling quotes (review r6c: an unescaped value
-        # would break — or worse, rewrite — the predicate fed to F.expr)
-        def q(v: str) -> str:
-            return v.replace("'", "''")
-
         parts = []
         if self.role is not None:
-            parts.append(f"role = '{q(self.role)}'")
+            parts.append(f"role = '{self.role}'")
         if self.tool is not None:
-            parts.append(f"tool = '{q(self.tool)}'")
+            parts.append(f"tool = '{self.tool}'")
         return " AND ".join(parts)
 
     def mask(self, cols: dict) -> np.ndarray:

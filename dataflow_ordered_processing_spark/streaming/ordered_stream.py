@@ -193,15 +193,6 @@ def _status_frame(conv_id: str, status: dict) -> pd.DataFrame:
     )
 
 
-_MATCH_COLS = [
-    "match_start_idx",
-    "match_end_idx",
-    "match_ts_first",
-    "match_ts_last",
-    "match_span_us",
-]
-
-
 def _pad_cep(df: pd.DataFrame) -> pd.DataFrame:
     """Add null match columns to a data/status frame (CEP schema variant)."""
     n = len(df)
@@ -326,6 +317,12 @@ def make_ordered_func(cfg: OrderedStreamConfig):
                 # state TTL (SURVEY §7): gap never closed — drop pending
                 # turns, free the state; for gapped keys the emitted status
                 # is the tombstone record (gap_report picks it up downstream)
+                state.remove()
+            elif st.complete and cfg.cleanup_on_complete:
+                # a timer-driven capped drain finished the conversation —
+                # same eager-cleanup contract as the arrival path (review
+                # r6d: this branch used to tombstone forever, diverging
+                # from the arrival path and the sharded sweep)
                 state.remove()
             else:
                 t_new = _state_to_tuple(st)

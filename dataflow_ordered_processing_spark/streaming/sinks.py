@@ -354,21 +354,16 @@ def _keyidx_compact(spark: SparkSession, data_path: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def _merge_fresh(
-    spark: SparkSession,
-    data_path: str,
-    rows: DataFrame,
-    idx_col: str,
-    maintain: bool = True,
+def _keyidx_watermarks(
+    spark: SparkSession, data_path: str, rows: DataFrame
 ) -> DataFrame:
-    """Drop batch rows at-or-below their conversation's sink high watermark
-    (compared on ``idx_col``). Correct because the ordered operator's
-    emission is contiguous per conversation (O7): turn ≤ hi_turn ⟺ the key
-    already landed. ``maintain=False`` skips the (idempotent) index
-    catchup/compact when a prior call this batch already ran it."""
-    if maintain:
-        _keyidx_catchup(spark, data_path)
-        _keyidx_compact(spark, data_path)
+    """Per-conversation sink high watermarks for the conversations that can
+    possibly collide with ``rows`` (bucket-pruned compact index read). Runs
+    the idempotent index catchup/compact first. Build ONCE per epoch and
+    join against every row class (review r6d: the match dedupe used to
+    repeat the bucket collect + index aggregation per class)."""
+    _keyidx_catchup(spark, data_path)
+    _keyidx_compact(spark, data_path)
     # the batch's bucket set: ≤ _KEYIDX_BUCKETS small ints — bounded plan-
     # build metadata (same class as the IVF codebook collect), lets the
     # compact read prune to the buckets this batch can possibly collide with
@@ -378,22 +373,23 @@ def _merge_fresh(
         .distinct()
         .collect()
     ]
-    idx = (
+    return (
         _keyidx_raw(spark, data_path, buckets)
         .groupBy("conv_id")
         .agg(F.max("hi_turn").alias("hi_turn"))
     )
+
+
+def _fresh_above_watermark(rows: DataFrame, idx: DataFrame, idx_col: str) -> DataFrame:
+    """Drop batch rows at-or-below their conversation's sink high watermark
+    (compared on ``idx_col``). Correct because the ordered operator's
+    emission is contiguous per conversation (O7): turn ≤ hi_turn ⟺ the key
+    already landed."""
     return (
         rows.join(idx, "conv_id", "left")
         .filter(F.col("hi_turn").isNull() | (F.col(idx_col) > F.col("hi_turn")))
         .drop("hi_turn")
     )
-
-
-def _merge_fresh_data(
-    spark: SparkSession, data_path: str, data_rows: DataFrame
-) -> DataFrame:
-    return _merge_fresh(spark, data_path, data_rows, "turn_idx")
 
 
 def _write_idempotent(df: DataFrame, base: str, epoch_id: int) -> None:
@@ -451,21 +447,22 @@ def split_sink(cfg: SinkConfig):
                 if persisted is None:
                     persisted = unified.persist()
                     unified = persisted
-                fresh_data = _merge_fresh_data(
-                    spark, cfg.data_path, unified.filter(F.col("row_type") == "data")
-                )
+                data_rows = unified.filter(F.col("row_type") == "data")
+                # match conversations are always a subset of the batch's
+                # data conversations (a match is emitted with its end turn),
+                # so ONE watermark index serves both row classes
+                idx = _keyidx_watermarks(spark, cfg.data_path, data_rows)
+                fresh_data = _fresh_above_watermark(data_rows, idx, "turn_idx")
                 if "match_start_idx" in batch_df.columns:
                     # match rows need the same cross-epoch dedupe (review
                     # r6c): under eager state cleanup, re-delivered turns
                     # re-emit AND re-match; a match whose END turn is at or
                     # below the conversation's committed watermark was
                     # already emitted with those turns — drop it like them
-                    fresh_match = _merge_fresh(
-                        spark,
-                        cfg.data_path,
+                    fresh_match = _fresh_above_watermark(
                         unified.filter(F.col("row_type") == "match"),
+                        idx,
                         "match_end_idx",
-                        maintain=False,
                     )
                     unified = fresh_data.unionByName(fresh_match).unionByName(
                         unified.filter(~F.col("row_type").isin("data", "match"))
@@ -1107,8 +1104,12 @@ def _check_engine_marker(
         with open(marker) as f:
             prior = json.load(f)
         # pre-CEP markers carry no "pattern" key; they pinned pattern-less
-        # configs, so normalize rather than refusing every old checkpoint
+        # configs, so normalize rather than refusing every old checkpoint.
+        # Ditto the short-lived list form (steps only, no within) — upgrade
+        # it to the dict form instead of refusing an identical pattern.
         prior.setdefault("pattern", None)
+        if isinstance(prior["pattern"], list):
+            prior["pattern"] = {"steps": prior["pattern"], "within_s": None}
         if prior != current:
             raise ValueError(
                 f"checkpoint {checkpoint!r} was written by engine config "

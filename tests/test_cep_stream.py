@@ -399,6 +399,54 @@ def test_parse_pattern_rejects_single_step_and_injection():
 
     with pytest.raises(ValueError, match="at least 2"):
         parse_pattern("u=user")
-    # quote-bearing values render as escaped SQL, not broken predicates
-    s = Step("x", role="o'brien")
-    assert s.sql == "role = 'o''brien'"
+    # non-identifier values are rejected outright (review r6d: escaping
+    # can't be both injection-safe and Spark/DuckDB-identical — Spark
+    # interprets backslash escapes in string literals, DuckDB does not)
+    with pytest.raises(ValueError, match="identifier"):
+        Step("x", role="o'brien")
+    with pytest.raises(ValueError, match="identifier"):
+        Step("x", role="a\\b")
+
+
+def test_timer_drain_completion_honors_cleanup_on_complete():
+    """A conversation finished by a timer-driven capped drain must be
+    eagerly removed under cleanup_on_complete=True, like the arrival path
+    and the sharded sweep (review r6d)."""
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+        make_ordered_func,
+    )
+
+    full = scenarios.conversation(1, 6)
+    cfg = OrderedStreamConfig(
+        cleanup_on_complete=True, max_emit_per_batch=4, status_heartbeat_ms=100
+    )
+    func = make_ordered_func(cfg)
+    state = _FakeGroupState()
+    list(func(("conv-000001",), iter([full]), state))  # caps at 4 emitted
+    assert state.exists and not state.removed
+    state.hasTimedOut = True
+    out = list(func(("conv-000001",), iter([]), state))  # drains 5..6 → complete
+    assert state.removed
+    assert sum(len(f) for f in out if (f["row_type"] == "data").any()) == 2
+
+
+def test_marker_normalizes_list_form_pattern():
+    import json
+    import os
+    import tempfile
+
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        _check_engine_marker,
+        _pattern_spec,
+    )
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="cep-marker-"), "ckpt")
+    os.makedirs(ckpt)
+    spec = _pattern_spec(STEPS)  # {"steps": [...], "within_s": None}
+    with open(os.path.join(ckpt, "_ordered_engine.json"), "w") as f:
+        json.dump(
+            {"engine": "classic", "n_shards": None, "pattern": spec["steps"]}, f
+        )
+    _check_engine_marker(ckpt, "classic", None, spec)  # list form upgrades
+    with pytest.raises(ValueError, match="cannot resume"):
+        _check_engine_marker(ckpt, "classic", None, _pattern_spec(STEPS, 60))
