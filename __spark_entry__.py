@@ -996,7 +996,7 @@ def _q_cep_strict(spark, sf_dir):
 
 def _q_cep_funnel(spark, sf_dir):
     """Skip-till-next funnel with a within bound (plans/cep.match_pattern
-    skip): nearest-following-match window columns + co-partitioned hops."""
+    skip): nearest-following-match window columns + (key, idx) join hops."""
     from dataflow_ordered_processing_spark.plans.cep import match_pattern
 
     return match_pattern(
