@@ -1,0 +1,245 @@
+"""Per-turn in-order emission latency → BENCH/latency.json.
+
+The north-rule metric is "ordered turns/sec + in-order emission latency
+p99". bench.py's p99 proxy (spread of ingest_ts under availableNow) is
+cadence-bound — it measures the drain schedule, not the operator. This
+tool measures the real thing:
+
+  1. A feeder pushes the pre-split arrival files into the source dir on a
+     fixed cadence, recording the TRUE ARRIVAL WALL TIME of every
+     (conv_id, turn_idx) it pushes (pyarrow footer read per file — cheap).
+  2. The full pipeline (ordered engine → epoch sink) runs with a short
+     processing-time trigger; the sink stamps ingest_ts when a turn LANDS
+     (which, for a buffered out-of-order turn, is when its gap closes —
+     in-order emission, not input consumption).
+  3. join(sink rows, arrival manifest) → per-turn latency =
+     ingest_ts − t_arrival. Report p50/p95/p99/max over the steady state
+     (the first warmup_batches files are excluded — cold JVM/python
+     workers dominate them).
+
+This is the analog of the reference's latency query
+(README.md:145-184: TIMESTAMP_DIFF(ingest_ts, event_ts)) with the event
+time replaced by the measured arrival wall clock.
+
+Usage: python tools/latency_bench.py [--rows 400000] [--convs 5000]
+       [--n-files 100] [--push-ms 400] [--trigger-ms 200] [--cpus 32]
+       [--engine sharded] [--workdir /dev/shm/latbench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--convs", type=int, default=5_000)
+    ap.add_argument("--n-files", type=int, default=100)
+    ap.add_argument("--push-ms", type=int, default=600)
+    ap.add_argument("--trigger-ms", type=int, default=250)
+    # keep-up condition: local micro-batches have a ~1.3 s fixed floor at 8
+    # state partitions (see --cpus note), so a 1-file/trigger cap can never
+    # keep up with a sub-second feed — the queue grows and the measurement
+    # degenerates to the feed schedule (measured twice). Let one batch
+    # consume several pending files instead; latency then reflects
+    # trigger wait + batch time, the engine's actual floor.
+    ap.add_argument("--files-per-trigger", type=int, default=4)
+    # NOT 32: local-mode stateful batches carry a ~fixed cost PER STATE
+    # PARTITION (python worker + state-server handshake, measured ~160 ms
+    # in the r4 shard sweep) — 32 partitions would make every micro-batch
+    # ~2+ s and the measurement backlog-dominated. 8 keeps the per-batch
+    # floor under the trigger interval; on a real cluster the per-shard
+    # cost amortizes across long-lived executors.
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--disorder-turns",
+        type=int,
+        default=2,
+        help="arrival order = turn_idx + uniform(±this): BOUNDED disorder "
+        "(a turn arrives at most ~this many turn-tiers early/late), the "
+        "realistic shape for a latency measurement. The scaling benches' "
+        "GLOBAL shuffle would make every turn wait for the last files by "
+        "construction (measured: p50 ≈ total run length) — that measures "
+        "the feed schedule, not the engine.",
+    )
+    ap.add_argument("--engine", choices=["classic", "sharded"], default="sharded")
+    ap.add_argument("--warmup-files", type=int, default=10)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    from scaling_bench import generate_input
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="latbench-")
+    gen = os.path.join(workdir, "gen")
+    if not os.path.exists(os.path.join(gen, "_SUCCESS")):
+        n = generate_input(gen, args.rows, args.convs, cpus=args.cpus,
+                           files=args.n_files)
+        print(f"generated {n} rows / {args.n_files} files", file=sys.stderr)
+
+    # re-split into BOUNDED-disorder arrival files: sort by a jittered
+    # turn_idx key so per-conversation inversions span ~disorder_turns
+    # tiers (adjacent files), then cut into n_files sequential chunks
+    split = os.path.join(workdir, "arrival")
+    if not os.path.isdir(split):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        full = pq.read_table(gen).to_pandas()
+        # explicit µs schema below: pandas would otherwise round-trip ts as
+        # timestamp[ns], which Spark's vectorized parquet reader refuses
+        # to read back as TimestampType
+        full["ts"] = full["ts"].astype("datetime64[us]")
+        full["turn_idx"] = full["turn_idx"].astype("int32")
+        h = pd.util.hash_pandas_object(
+            full["conv_id"].astype(str) + ":" + full["turn_idx"].astype(str),
+            index=False,
+        ).to_numpy()
+        jitter = (h % (2 * args.disorder_turns * 1000)).astype("int64")
+        arr_key = full["turn_idx"].astype("int64") * 1000 + jitter
+        full = full.iloc[np.argsort(arr_key.to_numpy(), kind="stable")]
+        os.makedirs(split)
+        chunks = np.array_split(np.arange(len(full)), args.n_files)
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("role", pa.string()),
+                ("text", pa.string()),
+                ("tool", pa.string()),
+                ("ts", pa.timestamp("us")),
+            ]
+        )
+        full = full[[f.name for f in schema]]
+        for i, ix in enumerate(chunks):
+            pq.write_table(
+                pa.Table.from_pandas(
+                    full.iloc[ix], schema=schema, preserve_index=False
+                ),
+                os.path.join(split, f"part-{i:05d}.parquet"),
+            )
+    parts = sorted(glob.glob(os.path.join(split, "part-*.parquet")))
+
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.session import get_spark
+    from dataflow_ordered_processing_spark.streaming import (
+        OrderedStreamConfig,
+        start_ordered_pipeline,
+    )
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        SinkConfig,
+        read_sink,
+    )
+
+    spark = get_spark(
+        "latency-bench", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    for d in (src, out):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    sink = SinkConfig(
+        data_path=os.path.join(out, "data"),
+        checkpoint=os.path.join(out, "ckpt"),
+        trigger_seconds=args.trigger_ms / 1000.0,
+        # compaction competes with the drain for cores mid-measurement;
+        # leave the epoch dirs alone for a 100-file run
+        compact_epochs_after=None,
+    )
+    cfg = OrderedStreamConfig(emit_status_every_batch=False)
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", args.files_per_trigger)
+        .parquet(src)
+    )
+    q = start_ordered_pipeline(reader, sink, cfg, engine=args.engine)
+
+    # ---- feed on a cadence, recording true arrival time per turn
+    import pandas as pd
+
+    manifests = []
+    try:
+        for i, p in enumerate(parts):
+            target = os.path.join(src, f"batch-{i:05d}.parquet")
+            shutil.copy(p, target + ".tmp")
+            os.rename(target + ".tmp", target)
+            t_push = time.time()
+            keys = pq.read_table(p, columns=["conv_id", "turn_idx"]).to_pandas()
+            keys["t_arrival"] = t_push
+            keys["file_no"] = i
+            manifests.append(keys)
+            time.sleep(args.push_ms / 1000.0)
+        # drain: every turn eventually emits (full conversations, no damage)
+        total = sum(len(m) for m in manifests)
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                if read_sink(spark, sink.data_path).count() >= total:
+                    break
+            except Exception:
+                pass
+            time.sleep(1.0)
+    finally:
+        q.stop()
+
+    arrived = pd.concat(manifests, ignore_index=True)
+    landed = (
+        read_sink(spark, sink.data_path)
+        .select("conv_id", "turn_idx", "ingest_ts")
+        .toPandas()
+    )
+    m = landed.merge(arrived, on=["conv_id", "turn_idx"], how="inner")
+    assert len(m) == len(landed), "every landed turn must have an arrival record"
+    lat = (
+        m["ingest_ts"].astype("datetime64[us]").astype("int64") / 1e6
+        - m["t_arrival"]
+    )
+    steady = lat[m["file_no"] >= args.warmup_files]
+
+    def pct(s, p):
+        return round(float(s.quantile(p)), 3)
+
+    result = {
+        "rows": int(len(m)),
+        "files": len(parts),
+        "push_ms": args.push_ms,
+        "trigger_ms": args.trigger_ms,
+        "cpus": args.cpus,
+        "engine": args.engine,
+        "warmup_files_excluded": args.warmup_files,
+        "steady_rows": int(len(steady)),
+        "latency_s": {
+            "p50": pct(steady, 0.50),
+            "p95": pct(steady, 0.95),
+            "p99": pct(steady, 0.99),
+            "max": round(float(steady.max()), 3),
+        },
+        "all_rows_p99_s": pct(lat, 0.99),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "latency.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
