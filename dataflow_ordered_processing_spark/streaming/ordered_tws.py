@@ -47,9 +47,10 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from ..operators import cep_core
 from ..operators import ordered_core as core
-from ..schemas import STREAM_OUTPUT_SCHEMA
-from .ordered_stream import _data_frame, _status_frame
+from ..schemas import STREAM_OUTPUT_SCHEMA, STREAM_OUTPUT_SCHEMA_CEP
+from .ordered_stream import _data_frame, _match_frame, _pad_cep, _status_frame
 
 CURSOR_SCHEMA = (
     "last_emitted long, received_count long, result_count long, "
@@ -58,6 +59,12 @@ CURSOR_SCHEMA = (
     "buf_count long, buf_min long, buf_max long"
 )
 BUFFER_SCHEMA = "turn_idx long, role string, text string, tool string, ts_us long"
+# CEP carry (cfg.pattern): the trailing (k-1) emitted turns, columnar —
+# one small ValueState row, rewritten only when the key actually emits
+CEP_CARRY_SCHEMA = (
+    "turn_idx array<long>, role array<string>, tool array<string>, "
+    "ts_us array<long>"
+)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -103,6 +110,11 @@ class TwsConfig:
     # max_emit_per_batch is set — a silent strand is worse than a loud
     # config error.
     ack_arrivals_driven_drain: bool = False
+    # CEP strict pattern (same contract as OrderedStreamConfig.pattern —
+    # matched over the in-order emission, (k-1)-turn carry in a ValueState,
+    # matches as row_type='match' in the *_CEP output schema)
+    pattern: tuple | None = None
+    pattern_within_s: int | None = None
 
     def __post_init__(self) -> None:
         if self.max_emit_per_batch is not None and not self.ack_arrivals_driven_drain:
@@ -128,6 +140,10 @@ class OrderedProcessor(StatefulProcessor):
         ttl = self.cfg.state_ttl_ms
         self.cursor = handle.getValueState("cursor", CURSOR_SCHEMA, ttl)
         self.buffer = handle.getListState("buffer", BUFFER_SCHEMA, ttl)
+        if self.cfg.pattern is not None:
+            self.cep_carry = handle.getValueState(
+                "cep_carry", CEP_CARRY_SCHEMA, ttl
+            )
 
     def close(self) -> None:
         pass
@@ -286,7 +302,48 @@ class OrderedProcessor(StatefulProcessor):
             n_tool = int(emitted_cols["n_tool_cum"][-1])
             chars = int(emitted_cols["chars_cum"][-1])
             result += n_emit
-            yield _data_frame(conv_id, pd.DataFrame(emitted_cols, copy=False))
+            df_out = _data_frame(conv_id, pd.DataFrame(emitted_cols, copy=False))
+            yield _pad_cep(df_out) if cfg.pattern is not None else df_out
+            if cfg.pattern is not None:
+                prior = (
+                    tuple(self.cep_carry.get()) if self.cep_carry.exists() else None
+                )
+                carry_in = (
+                    {
+                        "turn_idx": np.asarray(list(prior[0] or []), dtype="int64"),
+                        "role": np.asarray(list(prior[1] or []), dtype=object),
+                        "tool": np.asarray(list(prior[2] or []), dtype=object),
+                        "ts_us": np.asarray(list(prior[3] or []), dtype="int64"),
+                    }
+                    if prior is not None
+                    else None
+                )
+                within_us = (
+                    cfg.pattern_within_s * 1_000_000
+                    if cfg.pattern_within_s is not None
+                    else None
+                )
+                matches, carry = cep_core.match_strict(
+                    tuple(cfg.pattern),
+                    {c: emitted_cols[c] for c in cep_core.CEP_COLS},
+                    carry_in,
+                    within_us,
+                )
+                if last_event and buf_count == 0:
+                    # completion: drop the carry like the other engines —
+                    # the final sentinel delimits pattern scope
+                    self.cep_carry.clear()
+                else:
+                    self.cep_carry.update(
+                        (
+                            [int(x) for x in carry["turn_idx"]],
+                            list(carry["role"]),
+                            list(carry["tool"]),
+                            [int(x) for x in carry["ts_us"]],
+                        )
+                    )
+                if len(matches["start_idx"]):
+                    yield _match_frame(conv_id, matches)
 
         self.cursor.update(
             (
@@ -306,7 +363,7 @@ class OrderedProcessor(StatefulProcessor):
         )
 
         if cfg.emit_status_every_batch:
-            yield _status_frame(
+            status_df = _status_frame(
                 conv_id,
                 {
                     "last_emitted": int(last_emitted) if result else None,
@@ -319,6 +376,7 @@ class OrderedProcessor(StatefulProcessor):
                     "last_event_received": bool(last_event),
                 },
             )
+            yield _pad_cep(status_df) if cfg.pattern is not None else status_df
 
 
 def _tuples(cols: dict) -> list[tuple]:
@@ -336,9 +394,13 @@ def _tuples(cols: dict) -> list[tuple]:
 def ordered_stream_tws(df: DataFrame, cfg: TwsConfig | None = None) -> DataFrame:
     """Apply the transformWithStateInPandas ordered processor (requires the
     RocksDB state store provider on the session)."""
+    cfg = cfg or TwsConfig()
+    out_schema = (
+        STREAM_OUTPUT_SCHEMA_CEP if cfg.pattern is not None else STREAM_OUTPUT_SCHEMA
+    )
     return df.groupBy("conv_id").transformWithStateInPandas(
         statefulProcessor=OrderedProcessor(cfg),
-        outputStructType=STREAM_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         outputMode="append",
         timeMode="none",
     )

@@ -21,6 +21,7 @@ import pandas as pd
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from dataflow_ordered_processing_spark.sources import scenarios
 from dataflow_ordered_processing_spark.sources.scenarios import scenario, serial_oracle
 from dataflow_ordered_processing_spark.streaming.ordered_tws import (
     ROCKSDB_PROVIDER,
@@ -382,3 +383,76 @@ def test_tws_body_cap_never_changes_final_result(perm, cap):
             break
         feed([1])
     assert emitted == [1, 2, 3, 4, 5, 6, 7]
+
+
+# ---------------------------------------------------------------- CEP (r6)
+def _run_body_cep(batches, cfg):
+    """Like _run_body but also collects row_type='match' frames and exposes
+    the per-conv processors (to inspect carry state)."""
+    procs: dict[str, OrderedProcessor] = {}
+
+    def proc_for(conv_id):
+        if conv_id not in procs:
+            p = OrderedProcessor(cfg)
+            p.init(FakeHandle())
+            procs[conv_id] = p
+        return procs[conv_id]
+
+    matches = []
+    for batch in batches:
+        for conv_id, g in batch.groupby("conv_id", sort=True):
+            for f in proc_for(conv_id).handleInputRows(
+                (conv_id,), iter([g.reset_index(drop=True)]), None
+            ):
+                m = f[f["row_type"] == "match"]
+                if len(m):
+                    matches.append(m)
+    out = (
+        pd.concat(matches, ignore_index=True)
+        if matches
+        else pd.DataFrame(columns=["conv_id", "match_start_idx", "match_end_idx"])
+    )
+    return out, procs
+
+
+def test_tws_cep_matches_equal_batch_matcher():
+    """TWS engine body: strict matches across chunked out-of-order arrival
+    equal the reference matcher over the whole conversation, each once."""
+    from dataflow_ordered_processing_spark.operators.cep_core import (
+        Step,
+        empty_carry,
+        match_strict,
+    )
+
+    steps = (
+        Step("u", role="user"),
+        Step("a", role="assistant"),
+        Step("t", role="tool"),
+    )
+    full = scenarios.conversation(4, 13)
+    b1 = full[full.turn_idx % 2 == 0]
+    b2 = full[full.turn_idx % 2 == 1]
+    cfg = TwsConfig(pattern=steps)
+    got, _ = _run_body_cep([b1, b2], cfg)
+    cols = {
+        "turn_idx": full["turn_idx"].to_numpy(dtype="int64"),
+        "role": full["role"].to_numpy(),
+        "tool": full["tool"].to_numpy(),
+        "ts_us": full["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+    }
+    expect, _ = match_strict(steps, cols, empty_carry())
+    assert sorted(
+        zip(got["match_start_idx"].astype("int64"), got["match_end_idx"].astype("int64"))
+    ) == sorted(zip(expect["start_idx"].tolist(), expect["end_idx"].tolist()))
+    assert len(got) > 0
+
+
+def test_tws_cep_carry_cleared_at_completion():
+    from dataflow_ordered_processing_spark.operators.cep_core import Step
+
+    steps = (Step("u", role="user"), Step("a", role="assistant"))
+    full = scenarios.conversation(4, 6)
+    cfg = TwsConfig(pattern=steps)
+    _, procs = _run_body_cep([full.iloc[:4], full.iloc[4:]], cfg)
+    proc = procs["conv-000004"]
+    assert not proc.cep_carry.exists()  # completion dropped the carry
