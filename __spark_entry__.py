@@ -1059,6 +1059,52 @@ _CEP_FUNNEL_ORACLE = _with_transcripts(
 )
 
 
+def _q_cep_funnel_turns(spark, sf_dir):
+    """Skip-till-next funnel bounded by TURN DISTANCE instead of time
+    (within_turns=6): the MATCH_RECOGNIZE row-bounded form. Extras-registry
+    query (gate capped at 50); exact oracle below."""
+    from dataflow_ordered_processing_spark.plans.cep import match_pattern
+
+    return match_pattern(
+        derive_transcripts(spark, sf_dir),
+        _CEP_FUNNEL_STEPS,
+        mode="skip",
+        within_turns=6,
+    )
+
+
+_CEP_FUNNEL_TURNS_ORACLE = _with_transcripts(
+    """
+    SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last, span_us FROM (
+      WITH base AS (
+        SELECT conv_id, turn_idx, ts, role = 'user' AS _m0,
+               min(CASE WHEN role = 'tool' AND tool = 'search'
+                        THEN turn_idx END) OVER wf AS n1,
+               min(CASE WHEN role = 'assistant'
+                        THEN turn_idx END) OVER wf AS n2
+        FROM transcripts
+        WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      ),
+      anch AS (SELECT conv_id, turn_idx AS u_idx, ts AS ts_first, n1 AS s_idx
+               FROM base WHERE _m0 AND n1 IS NOT NULL),
+      hop1 AS (SELECT a.conv_id, a.u_idx, a.ts_first, a.s_idx, b.n2 AS a_idx
+               FROM anch a
+               JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.s_idx
+               WHERE b.n2 IS NOT NULL),
+      hop2 AS (SELECT h.conv_id, h.u_idx, h.s_idx, h.a_idx, h.ts_first,
+                      b.ts AS ts_last
+               FROM hop1 h
+               JOIN base b ON b.conv_id = h.conv_id AND b.turn_idx = h.a_idx)
+      SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last,
+             epoch_us(ts_last) - epoch_us(ts_first) AS span_us
+      FROM hop2
+      WHERE a_idx - u_idx <= 6
+    )
+    """
+)
+
+
 def _q_cep_stream(spark, sf_dir):
     """CEP downstream of ordering in ONE streaming query: the classic
     stateful engine orders the damaged out-of-order arrival AND matches the
@@ -1226,6 +1272,7 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
+    "cep_funnel_turns",
     "sliding_stream_append",
     "tumbling_stream_append",
     "ngram_jaccard",
@@ -1276,6 +1323,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_strict": _q_cep_strict,
         "cep_funnel": _q_cep_funnel,
         "cep_stream": _q_cep_stream,
+        "cep_funnel_turns": _q_cep_funnel_turns,
         "hotkey_routed": _q_hotkey_routed,
         "ordered_emit": _q_ordered_emit,
         "ordered_emit_pandas": _q_ordered_emit_pandas,
@@ -1466,6 +1514,7 @@ def _all_oracles() -> dict[str, str]:
         "cep_strict": _CEP_STRICT_ORACLE,
         "cep_funnel": _CEP_FUNNEL_ORACLE,
         "cep_stream": _CEP_STREAM_ORACLE,
+        "cep_funnel_turns": _CEP_FUNNEL_TURNS_ORACLE,
         "tumbling_stream_append": _TUMBLING_ORACLE,
         # late subset (turn_idx % 7 == 3) is below the watermark on arrival
         # → dropped; the stream output equals the ON-TIME-only aggregation

@@ -62,6 +62,7 @@ def match_pattern(
     *,
     mode: str = "strict",
     within: str | None = None,
+    within_turns: int | None = None,
     key: str = "conv_id",
     order: str = "turn_idx",
     ts: str = "ts",
@@ -72,14 +73,25 @@ def match_pattern(
     or int — max allowed ``ts_last - ts_first`` span in SECONDS (converted
     to micros internally; exact integer compare).
 
+    ``within_turns`` (skip mode): max allowed ``last_idx - first_idx``
+    sequence distance — the MATCH_RECOGNIZE row-bounded form of the same
+    idea (a funnel that must complete within N turns rather than N
+    seconds). Meaningless for strict mode, whose span is always k-1;
+    passing it there raises.
+
     Output (strict): key, start_idx, end_idx, ts_first, ts_last, span_us.
     Output (skip):   key, <name>_idx per step, ts_first, ts_last, span_us.
     """
     pairs = _norm(steps)
     if mode == "strict":
+        if within_turns is not None:
+            raise ValueError(
+                "within_turns applies to skip mode only — a strict match "
+                f"always spans exactly {len(pairs) - 1} turns"
+            )
         return _match_strict(df, pairs, within, key, order, ts)
     if mode == "skip":
-        return _match_skip(df, pairs, within, key, order, ts)
+        return _match_skip(df, pairs, within, within_turns, key, order, ts)
     raise ValueError(f"unknown mode {mode!r} (strict | skip)")
 
 
@@ -131,7 +143,7 @@ def _match_strict(df, pairs, within, key, order, ts) -> DataFrame:
     )
 
 
-def _match_skip(df, pairs, within, key, order, ts) -> DataFrame:
+def _match_skip(df, pairs, within, within_turns, key, order, ts) -> DataFrame:
     k = len(pairs)
     wf = (
         Window.partitionBy(key)
@@ -189,6 +201,10 @@ def _match_skip(df, pairs, within, key, order, ts) -> DataFrame:
     wus = _within_us(within)
     if wus is not None:
         cur = cur.filter(F.col("span_us") <= F.lit(wus))
+    if within_turns is not None:
+        first_idx = F.col(f"{pairs[0][0]}_idx")
+        last_idx = F.col(f"{pairs[-1][0]}_idx")
+        cur = cur.filter(last_idx - first_idx <= F.lit(int(within_turns)))
     return cur.select(
         key,
         *[f"{n}_idx" for n, _ in pairs],

@@ -251,3 +251,20 @@ def test_strict_plan_is_single_exchange_no_join(spark):
     plan = match_pattern(df, STEPS3, mode="strict")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_match_pattern_within_turns(spark):
+    """Skip mode bounded by turn distance; strict mode rejects the knob."""
+    pdf = _table(spark, seed=11)
+    df = spark.createDataFrame(pdf.drop(columns=["ts_us"]))
+    fsteps = (
+        Step("u", role="user"),
+        Step("s", role="tool", tool="search"),
+        Step("a", role="assistant"),
+    )
+    allm = match_pattern(df, fsteps, mode="skip").toPandas()
+    bounded = match_pattern(df, fsteps, mode="skip", within_turns=3).toPandas()
+    assert len(bounded) == (allm["a_idx"] - allm["u_idx"] <= 3).sum()
+    assert (bounded["a_idx"] - bounded["u_idx"] <= 3).all()
+    with pytest.raises(ValueError, match="skip mode only"):
+        match_pattern(df, STEPS3, mode="strict", within_turns=3)
