@@ -1026,8 +1026,12 @@ _CEP_STRICT_ORACLE = _with_transcripts(
     """
 )
 
-_CEP_FUNNEL_ORACLE = _with_transcripts(
-    f"""
+def _cep_funnel_oracle(final_where: str) -> str:
+    """ONE body for every skip-funnel oracle variant — the final WHERE
+    bound (time vs turn distance) is the only thing that may differ
+    (review r6e: two verbatim copies of the CTE chain would drift)."""
+    return _with_transcripts(
+        f"""
     SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last, span_us FROM (
       WITH base AS (
         SELECT conv_id, turn_idx, ts, role = 'user' AS _m0,
@@ -1052,11 +1056,17 @@ _CEP_FUNNEL_ORACLE = _with_transcripts(
       SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last,
              epoch_us(ts_last) - epoch_us(ts_first) AS span_us
       FROM hop2
-      WHERE epoch_us(ts_last) - epoch_us(ts_first)
-            <= {_CEP_FUNNEL_WITHIN_S} * CAST(1000000 AS BIGINT)
+      WHERE {final_where}
     )
     """
+    )
+
+
+_CEP_FUNNEL_ORACLE = _cep_funnel_oracle(
+    f"epoch_us(ts_last) - epoch_us(ts_first) "
+    f"<= {_CEP_FUNNEL_WITHIN_S} * CAST(1000000 AS BIGINT)"
 )
+_CEP_FUNNEL_TURNS_ORACLE = _cep_funnel_oracle("a_idx - u_idx <= 6")
 
 
 def _q_cep_funnel_turns(spark, sf_dir):
@@ -1073,36 +1083,6 @@ def _q_cep_funnel_turns(spark, sf_dir):
     )
 
 
-_CEP_FUNNEL_TURNS_ORACLE = _with_transcripts(
-    """
-    SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last, span_us FROM (
-      WITH base AS (
-        SELECT conv_id, turn_idx, ts, role = 'user' AS _m0,
-               min(CASE WHEN role = 'tool' AND tool = 'search'
-                        THEN turn_idx END) OVER wf AS n1,
-               min(CASE WHEN role = 'assistant'
-                        THEN turn_idx END) OVER wf AS n2
-        FROM transcripts
-        WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
-                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-      ),
-      anch AS (SELECT conv_id, turn_idx AS u_idx, ts AS ts_first, n1 AS s_idx
-               FROM base WHERE _m0 AND n1 IS NOT NULL),
-      hop1 AS (SELECT a.conv_id, a.u_idx, a.ts_first, a.s_idx, b.n2 AS a_idx
-               FROM anch a
-               JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.s_idx
-               WHERE b.n2 IS NOT NULL),
-      hop2 AS (SELECT h.conv_id, h.u_idx, h.s_idx, h.a_idx, h.ts_first,
-                      b.ts AS ts_last
-               FROM hop1 h
-               JOIN base b ON b.conv_id = h.conv_id AND b.turn_idx = h.a_idx)
-      SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last,
-             epoch_us(ts_last) - epoch_us(ts_first) AS span_us
-      FROM hop2
-      WHERE a_idx - u_idx <= 6
-    )
-    """
-)
 
 
 def _q_cep_stream(spark, sf_dir):

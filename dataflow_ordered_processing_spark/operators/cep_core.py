@@ -154,6 +154,27 @@ def match_strict(
     return matches, new_carry
 
 
+def carry_from_lists(idx, role, tool, ts_us) -> dict:
+    """Rebuild a carry dict from four (possibly-None) sequences — the ONE
+    deserializer shared by every engine's state layer."""
+    return {
+        "turn_idx": np.asarray(list(idx or []), dtype="int64"),
+        "role": np.asarray(list(role or []), dtype=object),
+        "tool": np.asarray(list(tool or []), dtype=object),
+        "ts_us": np.asarray(list(ts_us or []), dtype="int64"),
+    }
+
+
+def carry_to_lists(carry: dict) -> tuple[list, list, list, list]:
+    """Carry dict → four plain lists (state-schema friendly)."""
+    return (
+        [int(x) for x in carry["turn_idx"]],
+        list(carry["role"]),
+        list(carry["tool"]),
+        [int(x) for x in carry["ts_us"]],
+    )
+
+
 def empty_carry() -> dict:
     return {
         "turn_idx": np.empty(0, np.int64),

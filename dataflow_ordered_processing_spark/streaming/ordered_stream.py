@@ -241,21 +241,11 @@ def _carry_from_tuple(t: tuple) -> dict:
     # positions 15-18 (after idle_heartbeats); absent/None → empty carry
     if len(t) <= 15 or t[15] is None:
         return cep_core.empty_carry()
-    return {
-        "turn_idx": np.asarray(list(t[15]), dtype="int64"),
-        "role": np.asarray(list(t[16] or []), dtype=object),
-        "tool": np.asarray(list(t[17] or []), dtype=object),
-        "ts_us": np.asarray(list(t[18] or []), dtype="int64"),
-    }
+    return cep_core.carry_from_lists(t[15], t[16], t[17], t[18])
 
 
 def _carry_fields(carry: dict) -> tuple:
-    return (
-        np.asarray(carry["turn_idx"]).tolist(),
-        np.asarray(carry["role"]).tolist(),
-        np.asarray(carry["tool"]).tolist(),
-        np.asarray(carry["ts_us"]).tolist(),
-    )
+    return tuple(cep_core.carry_to_lists(carry))
 
 
 def make_ordered_func(cfg: OrderedStreamConfig):

@@ -309,12 +309,7 @@ class OrderedProcessor(StatefulProcessor):
                     tuple(self.cep_carry.get()) if self.cep_carry.exists() else None
                 )
                 carry_in = (
-                    {
-                        "turn_idx": np.asarray(list(prior[0] or []), dtype="int64"),
-                        "role": np.asarray(list(prior[1] or []), dtype=object),
-                        "tool": np.asarray(list(prior[2] or []), dtype=object),
-                        "ts_us": np.asarray(list(prior[3] or []), dtype="int64"),
-                    }
+                    cep_core.carry_from_lists(*prior[:4])
                     if prior is not None
                     else None
                 )
@@ -334,14 +329,7 @@ class OrderedProcessor(StatefulProcessor):
                     # the final sentinel delimits pattern scope
                     self.cep_carry.clear()
                 else:
-                    self.cep_carry.update(
-                        (
-                            [int(x) for x in carry["turn_idx"]],
-                            list(carry["role"]),
-                            list(carry["tool"]),
-                            [int(x) for x in carry["ts_us"]],
-                        )
-                    )
+                    self.cep_carry.update(cep_core.carry_to_lists(carry))
                 if len(matches["start_idx"]):
                     yield _match_frame(conv_id, matches)
 

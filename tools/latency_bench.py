@@ -69,8 +69,10 @@ def main() -> int:
         "--disorder-turns",
         type=int,
         default=2,
-        help="arrival order = turn_idx + uniform(±this): BOUNDED disorder "
-        "(a turn arrives at most ~this many turn-tiers early/late), the "
+        help="bounded disorder: each turn's arrival key is shifted by a "
+        "one-sided hash jitter in [0, 2×this) turn-tiers, so a turn can "
+        "arrive up to ~2×this tiers after its in-order position (never "
+        "before an earlier tier's stragglers), the "
         "realistic shape for a latency measurement. The scaling benches' "
         "GLOBAL shuffle would make every turn wait for the last files by "
         "construction (measured: p50 ≈ total run length) — that measures "
@@ -177,8 +179,12 @@ def main() -> int:
     try:
         for i, p in enumerate(parts):
             target = os.path.join(src, f"batch-{i:05d}.parquet")
-            shutil.copy(p, target + ".tmp")
-            os.rename(target + ".tmp", target)
+            # dot-prefixed temp: FileStreamSource hides only '.'/'_' names,
+            # so a plain .tmp suffix could be listed mid-copy and then
+            # vanish at rename, killing the query (review r6e)
+            tmp = os.path.join(src, f".batch-{i:05d}.tmp")
+            shutil.copy(p, tmp)
+            os.rename(tmp, target)
             t_push = time.time()
             keys = pq.read_table(p, columns=["conv_id", "turn_idx"]).to_pandas()
             keys["t_arrival"] = t_push
@@ -206,6 +212,15 @@ def main() -> int:
     )
     m = landed.merge(arrived, on=["conv_id", "turn_idx"], how="inner")
     assert len(m) == len(landed), "every landed turn must have an arrival record"
+    drained = len(landed) >= len(arrived)
+    if not drained:
+        # an undrained run censors exactly the slowest tail — refuse to
+        # publish percentiles that would be silently biased low (review r6e)
+        raise RuntimeError(
+            f"drain incomplete: {len(landed)}/{len(arrived)} turns landed "
+            "within the deadline — percentiles would censor the slow tail. "
+            "Raise the deadline or lower --rows."
+        )
     lat = (
         m["ingest_ts"].astype("datetime64[us]").astype("int64") / 1e6
         - m["t_arrival"]
@@ -223,6 +238,7 @@ def main() -> int:
         "cpus": args.cpus,
         "engine": args.engine,
         "warmup_files_excluded": args.warmup_files,
+        "drained": True,
         "steady_rows": int(len(steady)),
         "latency_s": {
             "p50": pct(steady, 0.50),
