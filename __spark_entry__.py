@@ -1085,6 +1085,54 @@ def _q_cep_funnel_turns(spark, sf_dir):
 
 
 
+def _q_cep_funnel_rate(spark, sf_dir):
+    """Funnel conversion analytics — the downstream consumer of the CEP
+    layer (the Q-class composition a funnel exists for): per conversation,
+    how many user turns anchor the funnel and how many complete it within
+    the bound."""
+    from dataflow_ordered_processing_spark.plans.cep import match_pattern
+
+    t = derive_transcripts(spark, sf_dir)
+    matches = match_pattern(
+        t, _CEP_FUNNEL_STEPS, mode="skip", within=_CEP_FUNNEL_WITHIN_S
+    )
+    anchors = (
+        t.filter(F.col("role") == "user")
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_anchors"))
+    )
+    done = matches.groupBy("conv_id").agg(F.count("*").alias("n_completed"))
+    n_done = F.coalesce(F.col("n_completed"), F.lit(0).cast("long"))
+    return anchors.join(done, "conv_id", "left").select(
+        "conv_id",
+        "n_anchors",
+        n_done.alias("n_completed"),
+        # one division of identical BIGINTs — bit-identical across engines
+        (n_done.cast("double") / F.col("n_anchors")).alias("completion_rate"),
+    )
+
+
+_CEP_FUNNEL_RATE_ORACLE = f"""
+WITH funnel AS ({{funnel_body}}),
+t2 AS ({{transcripts}}),
+anchors AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_anchors
+            FROM t2 WHERE role = 'user' GROUP BY conv_id),
+done AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_completed
+         FROM funnel GROUP BY conv_id)
+SELECT a.conv_id, a.n_anchors,
+       coalesce(d.n_completed, CAST(0 AS BIGINT)) AS n_completed,
+       CAST(coalesce(d.n_completed, 0) AS DOUBLE) / a.n_anchors
+           AS completion_rate
+FROM anchors a LEFT JOIN done d ON d.conv_id = a.conv_id
+"""
+
+
+def _cep_funnel_rate_oracle() -> str:
+    return _CEP_FUNNEL_RATE_ORACLE.format(
+        funnel_body=_CEP_FUNNEL_ORACLE, transcripts=TRANSCRIPTS_SQL
+    )
+
+
 def _q_cep_stream(spark, sf_dir):
     """CEP downstream of ordering in ONE streaming query: the classic
     stateful engine orders the damaged out-of-order arrival AND matches the
@@ -1103,7 +1151,13 @@ def _q_cep_stream(spark, sf_dir):
 
     stage = _stage_dir("cep-stream-src")
     _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
-    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+    # multiple micro-batches (not one availableNow slab): the gate then
+    # proves cross-batch carry stitching end-to-end, not just in pytest
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(stage)
+    )
     name = "cep_stream_out"
     cfg = OrderedStreamConfig(pattern=tuple(_CEP_STRICT_STEPS))
     q = (
@@ -1253,6 +1307,7 @@ _NEVER_CHECKED_FIRST = [
 
 _EXTRA_KEYS = [
     "cep_funnel_turns",
+    "cep_funnel_rate",
     "sliding_stream_append",
     "tumbling_stream_append",
     "ngram_jaccard",
@@ -1304,6 +1359,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel": _q_cep_funnel,
         "cep_stream": _q_cep_stream,
         "cep_funnel_turns": _q_cep_funnel_turns,
+        "cep_funnel_rate": _q_cep_funnel_rate,
         "hotkey_routed": _q_hotkey_routed,
         "ordered_emit": _q_ordered_emit,
         "ordered_emit_pandas": _q_ordered_emit_pandas,
@@ -1495,6 +1551,7 @@ def _all_oracles() -> dict[str, str]:
         "cep_funnel": _CEP_FUNNEL_ORACLE,
         "cep_stream": _CEP_STREAM_ORACLE,
         "cep_funnel_turns": _CEP_FUNNEL_TURNS_ORACLE,
+        "cep_funnel_rate": _cep_funnel_rate_oracle(),
         "tumbling_stream_append": _TUMBLING_ORACLE,
         # late subset (turn_idx % 7 == 3) is below the watermark on arrival
         # → dropped; the stream output equals the ON-TIME-only aggregation
