@@ -1026,10 +1026,18 @@ _CEP_STRICT_ORACLE = _with_transcripts(
     """
 )
 
-def _cep_funnel_oracle(final_where: str) -> str:
+def _cep_funnel_oracle(final_where: str, guard0: str | None = None) -> str:
     """ONE body for every skip-funnel oracle variant — the final WHERE
-    bound (time vs turn distance) is the only thing that may differ
-    (review r6e: two verbatim copies of the CTE chain would drift)."""
+    bound (time vs turn distance) and an optional anchor→step-1 negative
+    guard are the only things that may differ (review r6e: verbatim copies
+    of the CTE chain would drift)."""
+    g_col = (
+        f",\n               min(CASE WHEN {guard0} THEN turn_idx END) "
+        "OVER wf AS g0"
+        if guard0
+        else ""
+    )
+    g_where = " AND (g0 IS NULL OR g0 >= n1)" if guard0 else ""
     return _with_transcripts(
         f"""
     SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last, span_us FROM (
@@ -1038,13 +1046,13 @@ def _cep_funnel_oracle(final_where: str) -> str:
                min(CASE WHEN role = 'tool' AND tool = 'search'
                         THEN turn_idx END) OVER wf AS n1,
                min(CASE WHEN role = 'assistant'
-                        THEN turn_idx END) OVER wf AS n2
+                        THEN turn_idx END) OVER wf AS n2{g_col}
         FROM transcripts
         WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
       ),
       anch AS (SELECT conv_id, turn_idx AS u_idx, ts AS ts_first, n1 AS s_idx
-               FROM base WHERE _m0 AND n1 IS NOT NULL),
+               FROM base WHERE _m0 AND n1 IS NOT NULL{g_where}),
       hop1 AS (SELECT a.conv_id, a.u_idx, a.ts_first, a.s_idx, b.n2 AS a_idx
                FROM anch a
                JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.s_idx
@@ -1067,6 +1075,25 @@ _CEP_FUNNEL_ORACLE = _cep_funnel_oracle(
     f"<= {_CEP_FUNNEL_WITHIN_S} * CAST(1000000 AS BIGINT)"
 )
 _CEP_FUNNEL_TURNS_ORACLE = _cep_funnel_oracle("a_idx - u_idx <= 6")
+# notFollowedBy form: same funnel, but a code tool call between the user
+# turn and the search cancels the match (Flink notFollowedBy analog)
+_CEP_FUNNEL_GUARDED_ORACLE = _cep_funnel_oracle(
+    "TRUE", guard0="role = 'tool' AND tool = 'code'"
+)
+
+
+def _q_cep_funnel_guarded(spark, sf_dir):
+    """Skip funnel with a negative guard (plans/cep not_between): no code
+    tool call strictly between the user anchor and the matched search."""
+    from dataflow_ordered_processing_spark.operators.cep_core import Step
+    from dataflow_ordered_processing_spark.plans.cep import match_pattern
+
+    return match_pattern(
+        derive_transcripts(spark, sf_dir),
+        _CEP_FUNNEL_STEPS,
+        mode="skip",
+        not_between={0: Step("g", role="tool", tool="code")},
+    )
 
 
 def _q_cep_funnel_turns(spark, sf_dir):
@@ -1308,6 +1335,7 @@ _NEVER_CHECKED_FIRST = [
 _EXTRA_KEYS = [
     "cep_funnel_turns",
     "cep_funnel_rate",
+    "cep_funnel_guarded",
     "sliding_stream_append",
     "tumbling_stream_append",
     "ngram_jaccard",
@@ -1360,6 +1388,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_stream": _q_cep_stream,
         "cep_funnel_turns": _q_cep_funnel_turns,
         "cep_funnel_rate": _q_cep_funnel_rate,
+        "cep_funnel_guarded": _q_cep_funnel_guarded,
         "hotkey_routed": _q_hotkey_routed,
         "ordered_emit": _q_ordered_emit,
         "ordered_emit_pandas": _q_ordered_emit_pandas,
@@ -1552,6 +1581,7 @@ def _all_oracles() -> dict[str, str]:
         "cep_stream": _CEP_STREAM_ORACLE,
         "cep_funnel_turns": _CEP_FUNNEL_TURNS_ORACLE,
         "cep_funnel_rate": _cep_funnel_rate_oracle(),
+        "cep_funnel_guarded": _CEP_FUNNEL_GUARDED_ORACLE,
         "tumbling_stream_append": _TUMBLING_ORACLE,
         # late subset (turn_idx % 7 == 3) is below the watermark on arrival
         # → dropped; the stream output equals the ON-TIME-only aggregation

@@ -63,6 +63,7 @@ def match_pattern(
     mode: str = "strict",
     within: str | None = None,
     within_turns: int | None = None,
+    not_between: dict | None = None,
     key: str = "conv_id",
     order: str = "turn_idx",
     ts: str = "ts",
@@ -79,20 +80,50 @@ def match_pattern(
     seconds). Meaningless for strict mode, whose span is always k-1;
     passing it there raises.
 
+    ``not_between`` (skip mode): negative guards — Flink CEP
+    ``notFollowedBy``: ``{i: step}`` demands NO row matching ``step``
+    STRICTLY between matched step ``i`` and matched step ``i+1``. Plan
+    cost: one extra nearest-following-match window column per guard, no
+    extra joins (the guard column rides the hop join already fetching
+    step i's row). Strict mode raises (consecutive turns have no
+    between).
+
     Output (strict): key, start_idx, end_idx, ts_first, ts_last, span_us.
     Output (skip):   key, <name>_idx per step, ts_first, ts_last, span_us.
     """
     pairs = _norm(steps)
+    guards = _norm_guards(not_between, len(pairs))
     if mode == "strict":
         if within_turns is not None:
             raise ValueError(
                 "within_turns applies to skip mode only — a strict match "
                 f"always spans exactly {len(pairs) - 1} turns"
             )
+        if guards:
+            raise ValueError(
+                "not_between applies to skip mode only — strict steps are "
+                "consecutive turns with nothing between them"
+            )
         return _match_strict(df, pairs, within, key, order, ts)
     if mode == "skip":
-        return _match_skip(df, pairs, within, within_turns, key, order, ts)
+        return _match_skip(
+            df, pairs, within, within_turns, guards, key, order, ts
+        )
     raise ValueError(f"unknown mode {mode!r} (strict | skip)")
+
+
+def _norm_guards(not_between, k) -> dict:
+    if not not_between:
+        return {}
+    out = {}
+    for i, g in not_between.items():
+        i = int(i)
+        if not 0 <= i < k - 1:
+            raise ValueError(
+                f"not_between segment {i} out of range (0..{k - 2})"
+            )
+        out[i] = g.sql if isinstance(g, Step) else str(g)
+    return out
 
 
 def _within_us(within) -> int | None:
@@ -143,35 +174,49 @@ def _match_strict(df, pairs, within, key, order, ts) -> DataFrame:
     )
 
 
-def _match_skip(df, pairs, within, within_turns, key, order, ts) -> DataFrame:
+def _match_skip(
+    df, pairs, within, within_turns, guards, key, order, ts
+) -> DataFrame:
     k = len(pairs)
     wf = (
         Window.partitionBy(key)
         .orderBy(order)
         .rowsBetween(1, Window.unboundedFollowing)
     )
-    # nearest-following-match index for every step (one shuffle, k window
-    # aggregates over the same frame)
-    base = df.withColumns(
+    # nearest-following-match index for every step — and for every negative
+    # guard — in one window pass (one shuffle, k + #guards aggregates over
+    # the same frame)
+    cols = {
+        f"_next_{i}": F.min(F.when(F.expr(sql), F.col(order))).over(wf)
+        for i, (_, sql) in enumerate(pairs)
+        if i > 0
+    }
+    cols.update(
         {
-            f"_next_{i}": F.min(
-                F.when(F.expr(sql), F.col(order))
-            ).over(wf)
-            for i, (_, sql) in enumerate(pairs)
-            if i > 0
+            f"_ng_{i}": F.min(F.when(F.expr(sql), F.col(order))).over(wf)
+            for i, sql in guards.items()
         }
-    ).select(key, order, ts, F.expr(pairs[0][1]).alias("_m0"),
-             *[f"_next_{i}" for i in range(1, k)])
+    )
+    base = df.withColumns(cols).select(
+        key, order, ts, F.expr(pairs[0][1]).alias("_m0"),
+        *[f"_next_{i}" for i in range(1, k)],
+        *[f"_ng_{i}" for i in guards],
+    )
 
     name0 = pairs[0][0]
-    cur = (
-        base.filter(F.col("_m0") & F.col("_next_1").isNotNull())
-        .select(
-            key,
-            F.col(order).alias(f"{name0}_idx"),
-            F.col(ts).alias("ts_first"),
-            F.col("_next_1").alias(f"{pairs[1][0]}_idx"),
+    anchor = base.filter(F.col("_m0") & F.col("_next_1").isNotNull())
+    if 0 in guards:
+        # notFollowedBy between anchor and step 1: the nearest following
+        # guard row (evaluated AT the anchor) must not fall strictly
+        # before the matched step-1 row
+        anchor = anchor.filter(
+            F.col("_ng_0").isNull() | (F.col("_ng_0") >= F.col("_next_1"))
         )
+    cur = anchor.select(
+        key,
+        F.col(order).alias(f"{name0}_idx"),
+        F.col(ts).alias("ts_first"),
+        F.col("_next_1").alias(f"{pairs[1][0]}_idx"),
     )
     # hop the chain: fetch each matched row's ts and ITS nearest-next for
     # the following step — (key, idx) equi-joins over narrow rows
@@ -181,6 +226,8 @@ def _match_skip(df, pairs, within, within_turns, key, order, ts) -> DataFrame:
                F.col(ts).alias("_jts")]
         if i + 1 < k:
             sel.append(F.col(f"_next_{i + 1}").alias("_jn"))
+            if i in guards:
+                sel.append(F.col(f"_ng_{i}").alias("_jg"))
         right = base.select(*sel)
         cur = cur.join(
             right,
@@ -189,9 +236,15 @@ def _match_skip(df, pairs, within, within_turns, key, order, ts) -> DataFrame:
             "inner",
         ).drop("_jk", "_ji")
         if i + 1 < k:
+            cur = cur.filter(F.col("_jn").isNotNull())
+            if i in guards:
+                # guard evaluated at step i's row: nearest following guard
+                # must not land strictly before the matched step i+1 row
+                cur = cur.filter(
+                    F.col("_jg").isNull() | (F.col("_jg") >= F.col("_jn"))
+                ).drop("_jg")
             cur = (
-                cur.filter(F.col("_jn").isNotNull())
-                .withColumnRenamed("_jn", f"{pairs[i + 1][0]}_idx")
+                cur.withColumnRenamed("_jn", f"{pairs[i + 1][0]}_idx")
                 .drop("_jts")
             )
         else:

@@ -268,3 +268,60 @@ def test_match_pattern_within_turns(spark):
     assert (bounded["a_idx"] - bounded["u_idx"] <= 3).all()
     with pytest.raises(ValueError, match="skip mode only"):
         match_pattern(df, STEPS3, mode="strict", within_turns=3)
+
+
+def ref_skip_guarded(rows, steps, guards):
+    """ref_skip + notFollowedBy guards: no guard-matching row strictly
+    between matched step i and matched step i+1."""
+    out = []
+    for chain in ref_skip(rows, steps):
+        pos = {r["turn_idx"]: i for i, r in enumerate(rows)}
+        ok = True
+        for seg, g in guards.items():
+            lo, hi = pos[chain[seg]], pos[chain[seg + 1]]
+            if any(_holds(g, rows[i]) for i in range(lo + 1, hi)):
+                ok = False
+                break
+        if ok:
+            out.append(chain)
+    return out
+
+
+def test_match_pattern_not_between_vs_reference(spark):
+    pdf = _table(spark, seed=23, n_convs=8, max_turns=30)
+    df = spark.createDataFrame(pdf.drop(columns=["ts_us"]))
+    fsteps = (
+        Step("u", role="user"),
+        Step("s", role="tool", tool="search"),
+        Step("a", role="assistant"),
+    )
+    guards = {0: Step("g", role="tool", tool="code"), 1: Step("g2", role="system")}
+    got = (
+        match_pattern(df, fsteps, mode="skip", not_between=guards)
+        .orderBy("conv_id", "u_idx")
+        .toPandas()
+    )
+    expect = []
+    for cid, g in pdf.groupby("conv_id"):
+        rows = g.sort_values("turn_idx").to_dict("records")
+        for chain in ref_skip_guarded(rows, fsteps, guards):
+            expect.append((cid, *chain))
+    assert (
+        list(map(tuple, got[["conv_id", "u_idx", "s_idx", "a_idx"]].values))
+        == sorted(expect)
+    )
+    # guards must actually cut something on this seed, or the test is vacuous
+    assert len(got) < len(
+        match_pattern(df, fsteps, mode="skip").toPandas()
+    )
+
+
+def test_not_between_validation(spark):
+    df = spark.createDataFrame(_table(spark).drop(columns=["ts_us"]))
+    with pytest.raises(ValueError, match="skip mode only"):
+        match_pattern(df, STEPS3, mode="strict",
+                      not_between={0: Step("g", role="system")})
+    fsteps = (Step("u", role="user"), Step("a", role="assistant"))
+    with pytest.raises(ValueError, match="out of range"):
+        match_pattern(df, fsteps, mode="skip",
+                      not_between={1: Step("g", role="system")})
