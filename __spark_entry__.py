@@ -1085,14 +1085,13 @@ _CEP_FUNNEL_GUARDED_ORACLE = _cep_funnel_oracle(
 def _q_cep_funnel_guarded(spark, sf_dir):
     """Skip funnel with a negative guard (plans/cep not_between): no code
     tool call strictly between the user anchor and the matched search."""
-    from dataflow_ordered_processing_spark.operators.cep_core import Step
     from dataflow_ordered_processing_spark.plans.cep import match_pattern
 
     return match_pattern(
         derive_transcripts(spark, sf_dir),
         _CEP_FUNNEL_STEPS,
         mode="skip",
-        not_between={0: Step("g", role="tool", tool="code")},
+        not_between={0: _CepStep("g", role="tool", tool="code")},
     )
 
 
@@ -1177,9 +1176,12 @@ def _q_cep_stream(spark, sf_dir):
     )
 
     stage = _stage_dir("cep-stream-src")
-    _arrival_df(spark, sf_dir).write.mode("overwrite").parquet(stage)
-    # multiple micro-batches (not one availableNow slab): the gate then
-    # proves cross-batch carry stitching end-to-end, not just in pytest
+    # repartition(24) BEFORE the write: AQE coalesces the tiny shuffle to 2
+    # files otherwise (review r6f — measured at every sf), and 2 files under
+    # an 8-file trigger cap is still ONE availableNow slab. 24 files / 8 per
+    # trigger = 3 micro-batches, so the gate genuinely proves cross-batch
+    # carry stitching end-to-end, not just in pytest.
+    _arrival_df(spark, sf_dir).repartition(24).write.mode("overwrite").parquet(stage)
     src = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 8)

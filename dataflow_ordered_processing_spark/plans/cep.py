@@ -122,7 +122,20 @@ def _norm_guards(not_between, k) -> dict:
             raise ValueError(
                 f"not_between segment {i} out of range (0..{k - 2})"
             )
-        out[i] = g.sql if isinstance(g, Step) else str(g)
+        if isinstance(g, Step):
+            out[i] = g.sql
+        elif isinstance(g, str):
+            out[i] = g
+        elif isinstance(g, (tuple, list)) and len(g) == 2:
+            # the (name, sql) tuple form steps accept — the name is unused
+            # for a guard but the symmetric shape should not blow up later
+            # in F.expr with an opaque parse error (review r6f)
+            out[i] = str(g[1])
+        else:
+            raise ValueError(
+                f"not_between guard for segment {i} must be a Step, a SQL "
+                f"string, or a (name, sql) pair — got {g!r}"
+            )
     return out
 
 

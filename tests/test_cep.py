@@ -274,8 +274,8 @@ def ref_skip_guarded(rows, steps, guards):
     """ref_skip + notFollowedBy guards: no guard-matching row strictly
     between matched step i and matched step i+1."""
     out = []
+    pos = {r["turn_idx"]: i for i, r in enumerate(rows)}
     for chain in ref_skip(rows, steps):
-        pos = {r["turn_idx"]: i for i, r in enumerate(rows)}
         ok = True
         for seg, g in guards.items():
             lo, hi = pos[chain[seg]], pos[chain[seg + 1]]
