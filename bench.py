@@ -13,7 +13,14 @@ Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
 
 Output: {"metric": "...", "value": total_sec, "unit": "sec",
          "queries": {name: sec}, "sf": ..., "ordered_turns_per_sec": ...,
-         "p99_emission_latency_s": ...}
+         "staging_spread_p99_s": ...}
+
+`staging_spread_p99_s` is NOT emission latency: it is the p99 spread of
+ingest_ts over a run that replays pre-staged history as fast as triggers
+allow, so it measures staging cadence (run length / trigger count), not how
+long a live turn waits to be emitted. The real arrival-relative steady-state
+measurement is `tools/latency_bench.py` → `BENCH/latency.json`
+(p50 0.82 s / p99 2.31 s, drained).
 """
 
 from __future__ import annotations
@@ -134,8 +141,12 @@ def main() -> int:
         q.processAllAvailable()
         q.stop()
         sunk = read_sink(spark, cfgS.data_path)
-        # emission latency relative to the run start (event ts is synthetic
-        # history): p99 of ingest_ts spread = how long rows waited to land
+        # p99 ingest_ts spread relative to run start. This replays STAGED
+        # history, so the number is bounded by staging cadence (trigger
+        # count × micro-batch time), not by per-turn wait — hence the
+        # honest name. For real in-order emission latency (arrival-relative,
+        # steady-state, drained) see tools/latency_bench.py →
+        # BENCH/latency.json: p50 0.82 s / p99 2.31 s.
         row = sunk.agg(
             F.expr(
                 "percentile_approx(unix_timestamp(ingest_ts), array(0.99D), 10000)"
@@ -143,7 +154,7 @@ def main() -> int:
             F.min(F.unix_timestamp("ingest_ts")).alias("t0"),
             F.count("*").alias("n"),
         ).collect()[0]
-        extras["p99_emission_latency_s"] = float(row["p99"] - row["t0"])
+        extras["staging_spread_p99_s"] = float(row["p99"] - row["t0"])
         return row["n"]
 
     run("ordered_pipeline_sink", latency_run)

@@ -896,6 +896,12 @@ def ivf_topk_indexed(
         .parquet(*epochs)
         .filter(F.col("cell").isin(probed_cells))
     )
+    # an index built with a non-default vec_col stores vectors under that
+    # name; _topk_within_cells scores `embedding`, so alias it here instead
+    # of failing with an opaque AnalysisException at query time (ADVICE r6)
+    vec_col = meta.get("vec_col", "embedding")
+    if vec_col != "embedding":
+        corpus = corpus.withColumnRenamed(vec_col, "embedding")
     return _topk_within_cells(corpus, probed, k)
 
 

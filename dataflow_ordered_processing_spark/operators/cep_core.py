@@ -139,6 +139,17 @@ def match_strict(
     # emit only matches whose LAST row is in the new run (carry-internal
     # windows were already emitted by the previous call)
     first_new_end = n - n_new  # smallest window-end position inside the run
+    # INVARIANT (ADVICE r6): the incoming carry holds at most k-1 rows
+    # (new_carry above is trimmed to k-1 on every call), so first_new_end
+    # <= k-1 and the suppression branch below is currently DEAD —
+    # cross-batch exactly-once rests on window geometry (no k-row window
+    # fits inside a <k-row carry). The branch stays as defense-in-depth for
+    # a future longer-carry change; this assert makes such a change fail
+    # loudly instead of silently relying on the untested suppression path.
+    assert first_new_end <= k - 1, (
+        f"carry longer than k-1 ({first_new_end} rows, k={k}): the "
+        "carry-boundary suppression below is untested — audit it first"
+    )
     if first_new_end > k - 1:
         ok[: first_new_end - (k - 1)] = False
     ts = np.asarray(full["ts_us"], dtype=np.int64)

@@ -332,6 +332,18 @@ class OrderedProcessor(StatefulProcessor):
                     self.cep_carry.update(cep_core.carry_to_lists(carry))
                 if len(matches["start_idx"]):
                     yield _match_frame(conv_id, matches)
+        elif (
+            cfg.pattern is not None
+            and cfg.state_ttl_ms is not None
+            and self.cep_carry.exists()
+        ):
+            # TTL keep-alive (ADVICE r6): cursor/buffer are rewritten on
+            # every arrival (fresh TTL) but the carry is only rewritten when
+            # the key emits — a key buffering out-of-order turns past the
+            # TTL would lose its carry (and the ≤(k-1)-row window of matches
+            # spanning the last emission boundary) while staying live.
+            # Touch it so all three states share one expiry clock.
+            self.cep_carry.update(tuple(self.cep_carry.get()))
 
         self.cursor.update(
             (

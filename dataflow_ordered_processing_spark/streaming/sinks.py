@@ -464,12 +464,23 @@ def split_sink(cfg: SinkConfig):
                         idx,
                         "match_end_idx",
                     )
+                    # NULL row_type is kept explicitly: `~isin` is NULL (not
+                    # true) for NULL input under three-valued logic, which
+                    # would silently drop such rows here when validation/DLQ
+                    # is off — retain them so they surface downstream
+                    # (ADVICE r6)
                     unified = fresh_data.unionByName(fresh_match).unionByName(
-                        unified.filter(~F.col("row_type").isin("data", "match"))
+                        unified.filter(
+                            ~F.col("row_type").isin("data", "match")
+                            | F.col("row_type").isNull()
+                        )
                     )
                 else:
                     unified = fresh_data.unionByName(
-                        unified.filter(F.col("row_type") != "data")
+                        unified.filter(
+                            (F.col("row_type") != "data")
+                            | F.col("row_type").isNull()
+                        )
                     )
             try:
                 if cfg.iceberg_table:

@@ -74,6 +74,40 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(list(out.columns), na_position="last").reset_index(drop=True)
 
 
+def rotation_problems(qkeys: list[str]) -> list[str]:
+    """VERDICT r6 ask #8 — make the registry-rotation rule mechanical.
+
+    The driver's correctness gate checks exactly the FIRST 50 queries()
+    entries, so a new-in-round operator parked past position 49 would ship
+    without ever being driver-verified. Rule: the registry stays at exactly
+    50 entries (duplicates go to extra_queries()), and any key never seen in
+    the newest CORRECTNESS_r*.json (= never driver-checked) must sit inside
+    the gate window."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    problems = []
+    if len(qkeys) != 50:
+        problems.append(
+            f"queries() has {len(qkeys)} entries — the driver gate checks "
+            "exactly the first 50; keep the registry at 50 and park "
+            "duplicate-covered forms in extra_queries()"
+        )
+    recs = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if recs:
+        with open(recs[-1]) as f:
+            seen = set(json.load(f))
+        for i, k in enumerate(qkeys):
+            if k not in seen and i >= 50:
+                problems.append(
+                    f"NEW query '{k}' sits at position {i}, past the "
+                    "50-entry gate window — rotate it to the front of "
+                    "queries() (new-in-round operators lead the registry)"
+                )
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -91,6 +125,9 @@ def main():
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
     oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = []
+    for prob in rotation_problems(list(entrymod.queries())):
+        print(f"FAIL  rotation-guard: {prob}")
+        failures.append("rotation-guard")
     for name, fn in qs.items():
         if only and name not in only:
             continue
