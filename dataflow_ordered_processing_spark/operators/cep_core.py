@@ -11,9 +11,11 @@ well-defined, so CEP is the natural consumer of the ordered stream
 
 This module is the engine-side matcher: pure numpy over the columnar runs
 that ``ordered_core.apply_batch`` emits — no per-row Python, no pandas.
-Strict contiguity only (streaming skip-till-next needs unbounded lookahead;
-the batch operator in ``plans/cep.py`` covers it where the full table is
-available).
+Both contiguity modes are incremental: strict carries the trailing (k-1)
+emitted turns across micro-batches (``match_strict``), skip-till-next
+carries a partial-match frontier — one open candidate per anchor —
+(``match_skip``); the batch operator in ``plans/cep.py`` computes the same
+semantics where the full table is available and serves as the oracle.
 
 Match semantics (pinned by tests/test_cep.py against a pure-Python oracle):
   - a match starts at every row where step 0 holds and steps 1..k-1 hold on
@@ -165,6 +167,188 @@ def match_strict(
     return matches, new_carry
 
 
+def match_skip(
+    steps: tuple[Step, ...],
+    run: dict,
+    frontier: dict | None = None,
+    within_us: int | None = None,
+    within_turns: int | None = None,
+    guards: dict | None = None,
+) -> tuple[dict, dict]:
+    """Incremental skip-till-next-match (Flink CEP ``followedBy``) over one
+    in-order emitted run — the streaming counterpart of
+    ``plans.cep.match_pattern(mode="skip")`` (VERDICT r6 ask #2: a funnel
+    monitor is the canonical *streaming* CEP workload).
+
+    State is a per-key **partial-match frontier**: one entry per open
+    candidate ``(anchor_idx, anchor_ts_us, wait)`` where ``wait`` is the
+    next step (1-based) the candidate needs. Skip-till-next semantics make
+    a candidate's future deterministic given its wait step — the next hop
+    is always the NEAREST following matching row — so no per-candidate
+    intermediate rows need to be stored, and the emitted match is fully
+    identified by (anchor, end).
+
+    The per-run algorithm is the batch plan's shape in numpy: one
+    suffix-min "nearest following match position" table per step (and per
+    negative guard), then at most k-1 vectorized hop rounds over the
+    candidate arrays. No per-row Python.
+
+    ``guards`` (``plans.cep`` ``not_between`` analog): ``{segment_i: Step}``
+    — a candidate at step i dies when a guard row appears strictly between
+    its matched step-i row and its step-i+1 match (a row matching BOTH the
+    guard and step i+1 advances the candidate, exactly like the batch
+    plan's ``_ng >= _next`` rule). A candidate that stalls (no step match
+    in the rest of the run) dies if a guard row follows its position —
+    any future step match would be after that guard row.
+
+    Bounds / pruning:
+      - ``within_turns``: exact — a candidate is dropped once the newest
+        emitted turn_idx is ≥ anchor_idx + within_turns (turn_idx is
+        strictly increasing, so no future completion can satisfy the
+        bound).
+      - ``within_us``: completions are filtered exactly; open candidates
+        are additionally pruned once ``last_ts - anchor_ts > within_us``,
+        which assumes per-key event time is non-decreasing in turn order
+        (true of transcripts — ts IS the turn's event time; a
+        non-monotone key could in principle complete with a small
+        first→last span after a large intermediate ts, which this pruning
+        would miss).
+      - without either bound, open candidates live until the conversation
+        completes (the engine drops the frontier with the state) — fine
+        for conversation-scale keys; set a bound for unbounded ones.
+
+    Exactly-once across micro-batches: a match is emitted in the batch
+    that processes its END turn; turns are processed once, in order, so no
+    carry-window suppression is needed. Returns ``(matches, new_frontier)``
+    with the same matches columns as :func:`match_strict`.
+    """
+    k = len(steps)
+    if k < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    fr = frontier if frontier is not None else empty_frontier()
+    idx = np.asarray(run["turn_idx"], dtype=np.int64)
+    ts = np.asarray(run["ts_us"], dtype=np.int64)
+    n = len(idx)
+    empty = {
+        "start_idx": np.empty(0, np.int64),
+        "end_idx": np.empty(0, np.int64),
+        "ts_first_us": np.empty(0, np.int64),
+        "ts_last_us": np.empty(0, np.int64),
+    }
+    a_idx = np.asarray(fr["anchor_idx"], dtype=np.int64)
+    a_ts = np.asarray(fr["anchor_ts_us"], dtype=np.int64)
+    a_wait = np.asarray(fr["wait"], dtype=np.int64)
+    if n == 0:
+        return empty, fr
+    # gap guard (mirrors match_strict's contiguity check): emission is
+    # gap-free per key, so a jump means state re-creation after a TTL
+    # eviction — open candidates reference turns this incarnation never
+    # saw; drop them (re-matches on re-delivered turns are deduped at the
+    # sink by the match_end_idx watermark, same as strict)
+    if len(a_idx) and fr.get("next_expected") is not None and idx[0] != fr["next_expected"]:
+        a_idx, a_ts, a_wait = a_idx[:0], a_ts[:0], a_wait[:0]
+
+    sent = n  # sentinel position = "no following match in this run"
+    pos_range = np.arange(n, dtype=np.int64)
+    # NXT[i][p] = smallest run position q >= p where steps[i] matches
+    nxt = np.full((k, n + 1), sent, dtype=np.int64)
+    for i in range(1, k):
+        hit = np.where(steps[i].mask(run), pos_range, sent)
+        nxt[i, :n] = np.minimum.accumulate(hit[::-1])[::-1]
+    # NG[j][p] = same table for segment j's negative guard (sent = none,
+    # which can never kill since kill needs g < hp <= sent)
+    ng = np.full((k, n + 1), sent, dtype=np.int64)
+    for j, g in (guards or {}).items():
+        hit = np.where(g.mask(run), pos_range, sent)
+        ng[int(j), :n] = np.minimum.accumulate(hit[::-1])[::-1]
+
+    anchors = np.nonzero(steps[0].mask(run))[0]
+    c_aidx = np.concatenate([a_idx, idx[anchors]])
+    c_ats = np.concatenate([a_ts, ts[anchors]])
+    c_wait = np.concatenate([a_wait, np.ones(len(anchors), np.int64)])
+    # frontier entrants hop from "before the run": position -1
+    c_pos = np.concatenate([np.full(len(a_idx), -1, np.int64), anchors])
+
+    alive = np.ones(len(c_pos), dtype=bool)
+    open_ = np.ones(len(c_pos), dtype=bool)  # alive and not yet stalled/done
+    done = np.zeros(len(c_pos), dtype=bool)
+    for _ in range(k - 1):
+        act = np.nonzero(alive & open_ & ~done)[0]
+        if not len(act):
+            break
+        hp = nxt[c_wait[act], c_pos[act] + 1]
+        gp = ng[c_wait[act] - 1, c_pos[act] + 1]
+        killed = gp < hp  # guard strictly before the next step match
+        # (or before end-of-run for a stalled candidate: hp == sent)
+        stalled = ~killed & (hp == sent)
+        adv = ~killed & ~stalled
+        alive[act[killed]] = False
+        open_[act[stalled]] = False
+        ai = act[adv]
+        c_pos[ai] = hp[adv]
+        c_wait[ai] += 1
+        done[ai] = c_wait[ai] == k
+
+    comp = np.nonzero(alive & done)[0]
+    end_pos = c_pos[comp]
+    m_start, m_end = c_aidx[comp], idx[end_pos]
+    m_tsf, m_tsl = c_ats[comp], ts[end_pos]
+    keep = np.ones(len(comp), dtype=bool)
+    if within_us is not None:
+        keep &= m_tsl - m_tsf <= within_us
+    if within_turns is not None:
+        keep &= m_end - m_start <= within_turns
+    matches = {
+        "start_idx": m_start[keep],
+        "end_idx": m_end[keep],
+        "ts_first_us": m_tsf[keep],
+        "ts_last_us": m_tsl[keep],
+    }
+
+    still = alive & ~done  # stalled mid-chain — carry into the next run
+    if within_turns is not None:
+        still &= idx[-1] - c_aidx < within_turns
+    if within_us is not None:
+        still &= ts[-1] - c_ats <= within_us
+    new_frontier = {
+        "anchor_idx": c_aidx[still],
+        "anchor_ts_us": c_ats[still],
+        "wait": c_wait[still],
+        "next_expected": int(idx[-1]) + 1,
+    }
+    return matches, new_frontier
+
+
+def empty_frontier() -> dict:
+    return {
+        "anchor_idx": np.empty(0, np.int64),
+        "anchor_ts_us": np.empty(0, np.int64),
+        "wait": np.empty(0, np.int64),
+        "next_expected": None,
+    }
+
+
+def frontier_from_lists(anchor_idx, anchor_ts_us, wait, next_expected) -> dict:
+    """Rebuild a skip-mode frontier from state-schema lists — the ONE
+    deserializer shared by every engine's state layer (mirrors
+    carry_from_lists)."""
+    return {
+        "anchor_idx": np.asarray(list(anchor_idx or []), dtype="int64"),
+        "anchor_ts_us": np.asarray(list(anchor_ts_us or []), dtype="int64"),
+        "wait": np.asarray(list(wait or []), dtype="int64"),
+        "next_expected": None if next_expected is None else int(next_expected),
+    }
+
+
+def frontier_to_lists(fr: dict) -> tuple[list, list, list, int | None]:
+    return (
+        [int(x) for x in fr["anchor_idx"]],
+        [int(x) for x in fr["anchor_ts_us"]],
+        [int(x) for x in fr["wait"]],
+        None if fr["next_expected"] is None else int(fr["next_expected"]),
+    )
+
+
 def carry_from_lists(idx, role, tool, ts_us) -> dict:
     """Rebuild a carry dict from four (possibly-None) sequences — the ONE
     deserializer shared by every engine's state layer."""
@@ -193,3 +377,100 @@ def empty_carry() -> dict:
         "tool": np.empty(0, object),
         "ts_us": np.empty(0, np.int64),
     }
+
+
+@dataclass(frozen=True)
+class StreamMatcher:
+    """ONE mode dispatcher shared by all three streaming engines (classic /
+    sharded / TWS), so the strict-vs-skip semantics, the per-mode state
+    codec, and the config validation can never drift between them. The
+    engine owns WHERE the state lives (tuple fields, shard map entry,
+    ValueState); this object owns WHAT it means.
+
+    State shapes (both serialize to exactly 4 state-schema fields):
+      - strict → the (k-1)-turn carry (4 parallel lists)
+      - skip   → the partial-match frontier (3 int lists + next_expected)
+    """
+
+    steps: tuple
+    mode: str
+    within_us: int | None
+    within_turns: int | None
+    guards: dict  # {segment_i: Step}, skip mode only
+
+    def match(self, run: dict, state: dict | None) -> tuple[dict, dict]:
+        if self.mode == "skip":
+            return match_skip(
+                self.steps,
+                run,
+                state,
+                self.within_us,
+                self.within_turns,
+                self.guards,
+            )
+        return match_strict(self.steps, run, state, self.within_us)
+
+    def empty_state(self) -> dict:
+        return empty_frontier() if self.mode == "skip" else empty_carry()
+
+    def state_to_lists(self, st: dict) -> tuple:
+        return (
+            frontier_to_lists(st) if self.mode == "skip" else carry_to_lists(st)
+        )
+
+    def state_from_lists(self, a, b, c, d) -> dict:
+        return (
+            frontier_from_lists(a, b, c, d)
+            if self.mode == "skip"
+            else carry_from_lists(a, b, c, d)
+        )
+
+
+def stream_matcher(
+    pattern,
+    mode: str = "strict",
+    within_s: int | None = None,
+    within_turns: int | None = None,
+    not_between: dict | None = None,
+) -> StreamMatcher:
+    """Validate a streaming pattern config and build its matcher. Mirrors
+    plans.cep.match_pattern's argument contract exactly (strict rejects the
+    skip-only knobs; guards are per-segment), so a batch pattern and its
+    streaming twin take the same inputs."""
+    steps = tuple(pattern)
+    k = len(steps)
+    if k < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    if mode not in ("strict", "skip"):
+        raise ValueError(f"unknown pattern mode {mode!r} (strict | skip)")
+    if mode == "strict":
+        if within_turns is not None:
+            raise ValueError(
+                "pattern_within_turns applies to skip mode only — a strict "
+                f"match always spans exactly {k - 1} turns"
+            )
+        if not_between:
+            raise ValueError(
+                "pattern_not_between applies to skip mode only — strict "
+                "steps are consecutive turns with nothing between them"
+            )
+    guards: dict = {}
+    for i, g in (not_between or {}).items():
+        i = int(i)
+        if not 0 <= i < k - 1:
+            raise ValueError(
+                f"pattern_not_between segment {i} out of range (0..{k - 2})"
+            )
+        if not isinstance(g, Step):
+            raise ValueError(
+                f"streaming not_between guard for segment {i} must be a "
+                f"Step (the numpy matcher needs its mask) — got {g!r}"
+            )
+        guards[i] = g
+    return StreamMatcher(
+        steps=steps,
+        mode=mode,
+        within_us=None if within_s is None else int(within_s) * 1_000_000,
+        within_turns=None if within_turns is None else int(within_turns),
+        guards=guards,
+    )

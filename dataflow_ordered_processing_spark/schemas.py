@@ -125,6 +125,22 @@ STATE_SCHEMA_CEP = T.StructType(
     ]
 )
 
+# STATE_SCHEMA + the skip-mode (followedBy) partial-match frontier: one
+# entry per open candidate — anchor turn/ts plus the next step it waits for
+# — and the expected next turn_idx (the gap guard). Distinct from
+# STATE_SCHEMA_CEP because the payload types differ (all-int arrays), so a
+# checkpoint written under one pattern mode refuses the other via the state
+# store's schema-compat check instead of silently mis-decoding.
+STATE_SCHEMA_CEP_SKIP = T.StructType(
+    list(STATE_SCHEMA.fields)
+    + [
+        T.StructField("cep_anchor_idx", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_anchor_ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_wait", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_next_expected", T.LongType(), True),
+    ]
+)
+
 SINK_SCHEMA = T.StructType(
     list(ORDERED_OUTPUT_SCHEMA.fields)
     + [T.StructField("ingest_ts", T.TimestampType(), True)]

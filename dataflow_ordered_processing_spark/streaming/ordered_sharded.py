@@ -71,6 +71,7 @@ from .ordered_stream import (
     _STATUS_COLS,
     _match_frame,
     _pad_cep,
+    cfg_matcher,
 )
 
 SHARD_STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
@@ -171,7 +172,7 @@ def _shard_status_frame(statuses: list[dict]) -> pd.DataFrame:
 # strings, so they can never collide.
 _HB_AT = 0  # wall clock of the last heartbeat sweep
 _TOMBS = 1  # side map {conv_id: tombstone} of COMPLETED conversations
-_CEP = 2  # side map {conv_id: carry tuple} — trailing (k-1) emitted turns
+_CEP = 2  # side map {conv_id: CEP state} — strict carry / skip frontier
 
 
 def _tomb_from_state(st: core.OrderedState) -> tuple:
@@ -220,13 +221,8 @@ def _conv_dumps(st: core.OrderedState) -> bytes:
 
 
 def make_sharded_func(cfg: OrderedStreamConfig):
-    has_cep = cfg.pattern is not None
-    steps = tuple(cfg.pattern) if has_cep else ()
-    within_us = (
-        cfg.pattern_within_s * 1_000_000
-        if has_cep and cfg.pattern_within_s is not None
-        else None
-    )
+    matcher = cfg_matcher(cfg)  # ONE mode dispatcher shared with the
+    has_cep = matcher is not None  # classic engine (strict carry / skip frontier)
 
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         import time
@@ -252,11 +248,8 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 data_parts.append(emitted)
                 if has_cep:
                     run = {c: emitted[c] for c in cep_core.CEP_COLS}
-                    carry = cep_map.get(conv_id)
-                    matches, carry = cep_core.match_strict(
-                        steps, run, carry, within_us
-                    )
-                    cep_map[conv_id] = carry
+                    matches, cstate = matcher.match(run, cep_map.get(conv_id))
+                    cep_map[conv_id] = cstate
                     m = len(matches["start_idx"])
                     if m:
                         match_convs.append(np.full(m, conv_id, dtype=object))

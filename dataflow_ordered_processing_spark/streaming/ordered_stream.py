@@ -43,6 +43,7 @@ from ..operators import ordered_core as core
 from ..schemas import (
     STATE_SCHEMA,
     STATE_SCHEMA_CEP,
+    STATE_SCHEMA_CEP_SKIP,
     STREAM_OUTPUT_SCHEMA,
     STREAM_OUTPUT_SCHEMA_CEP,
 )
@@ -100,6 +101,38 @@ class OrderedStreamConfig:
     # mismatching.
     pattern: tuple | None = None
     pattern_within_s: int | None = None  # FlinkCEP within() on first→last ts
+    # "strict" (Flink `next`) or "skip" (Flink `followedBy` — the funnel
+    # monitor mode, r7): skip state is a partial-match FRONTIER (one open
+    # candidate per anchor, (anchor_idx, anchor_ts, next step awaited))
+    # instead of the strict carry; matches still surface as row_type='match'
+    # and the two modes use DIFFERENT state schemas so a checkpoint written
+    # under one refuses the other. Bound open candidates with
+    # pattern_within_s / pattern_within_turns for unbounded keys (unbounded
+    # candidates otherwise live until the conversation completes).
+    pattern_mode: str = "strict"
+    pattern_within_turns: int | None = None  # skip: max last_idx - first_idx
+    pattern_not_between: dict | None = None  # skip: {segment_i: Step} guards
+
+    def __post_init__(self) -> None:
+        if self.pattern is not None:
+            # shared validation (raises on strict+skip-only knobs, bad mode,
+            # non-Step guards) — fail at config time, not mid-stream
+            cep_core.stream_matcher(
+                self.pattern,
+                self.pattern_mode,
+                self.pattern_within_s,
+                self.pattern_within_turns,
+                self.pattern_not_between,
+            )
+        elif (
+            self.pattern_mode != "strict"
+            or self.pattern_within_turns is not None
+            or self.pattern_not_between
+        ):
+            raise ValueError(
+                "pattern_mode/pattern_within_turns/pattern_not_between "
+                "require pattern"
+            )
 
 
 def _state_to_tuple(st: core.OrderedState) -> tuple:
@@ -237,36 +270,44 @@ def _match_frame(conv, matches: dict) -> pd.DataFrame:
     )
 
 
-def _carry_from_tuple(t: tuple) -> dict:
-    # positions 15-18 (after idle_heartbeats); absent/None → empty carry
-    if len(t) <= 15 or t[15] is None:
-        return cep_core.empty_carry()
-    return cep_core.carry_from_lists(t[15], t[16], t[17], t[18])
-
-
-def _carry_fields(carry: dict) -> tuple:
-    return tuple(cep_core.carry_to_lists(carry))
+def cfg_matcher(cfg: "OrderedStreamConfig") -> cep_core.StreamMatcher | None:
+    """The config's pattern knobs → ONE StreamMatcher (shared with the
+    sharded engine so mode dispatch can't drift)."""
+    if cfg.pattern is None:
+        return None
+    return cep_core.stream_matcher(
+        cfg.pattern,
+        cfg.pattern_mode,
+        cfg.pattern_within_s,
+        cfg.pattern_within_turns,
+        cfg.pattern_not_between,
+    )
 
 
 def make_ordered_func(cfg: OrderedStreamConfig):
     """Build the (key, pdf_iter, state) function for applyInPandasWithState."""
 
-    has_cep = cfg.pattern is not None
-    steps = tuple(cfg.pattern) if has_cep else ()
-    within_us = (
-        cfg.pattern_within_s * 1_000_000
-        if has_cep and cfg.pattern_within_s is not None
-        else None
-    )
+    matcher = cfg_matcher(cfg)
+    has_cep = matcher is not None
 
-    def _cep_run(emitted: pd.DataFrame, carry: dict):
+    def _carry_from_tuple(t: tuple) -> dict:
+        # positions 15-18 (after idle_heartbeats); absent/None → empty state
+        # (for skip mode, field 15 is anchor_idx — same None-able sentinel)
+        if len(t) <= 15 or t[15] is None:
+            return matcher.empty_state()
+        return matcher.state_from_lists(t[15], t[16], t[17], t[18])
+
+    def _carry_fields(cstate: dict) -> tuple:
+        return tuple(matcher.state_to_lists(cstate))
+
+    def _cep_run(emitted: pd.DataFrame, cstate: dict):
         run = {
             "turn_idx": emitted["turn_idx"].to_numpy(dtype="int64", copy=False),
             "role": emitted["role"].to_numpy(copy=False),
             "tool": emitted["tool"].to_numpy(copy=False),
             "ts_us": emitted["ts_us"].to_numpy(dtype="int64", copy=False),
         }
-        return cep_core.match_strict(steps, run, carry, within_us)
+        return matcher.match(run, cstate)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         return _pad_cep(df) if has_cep else df
@@ -317,10 +358,11 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             else:
                 t_new = _state_to_tuple(st)
                 if has_cep and st.complete:
-                    # completed conv = frozen tombstone; drop the carry so
-                    # the tombstone stays compact (review r6c) — the final
-                    # sentinel delimits pattern scope
-                    carry = cep_core.empty_carry()
+                    # completed conv = frozen tombstone; drop the CEP state
+                    # so the tombstone stays compact (review r6c) — the
+                    # final sentinel delimits pattern scope (skip mode: open
+                    # candidates can never complete once the conv has)
+                    carry = matcher.empty_state()
                 state.update(t_new + _carry_fields(carry) if has_cep else t_new)
                 if cfg.status_heartbeat_ms and (
                     not st.complete or cfg.evict_idle_after_heartbeats is not None
@@ -340,7 +382,7 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             carry = _carry_from_tuple(t) if has_cep else None
         else:
             st = core.OrderedState(last_emitted=cfg.initial_turn_idx - 1)
-            carry = cep_core.empty_carry() if has_cep else None
+            carry = matcher.empty_state() if has_cep else None
 
         frames = list(pdfs)
         batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
@@ -360,7 +402,7 @@ def make_ordered_func(cfg: OrderedStreamConfig):
         else:
             t_new = _state_to_tuple(st)
             if has_cep and st.complete:
-                carry = cep_core.empty_carry()  # compact tombstone (see timer path)
+                carry = matcher.empty_state()  # compact tombstone (see timer path)
             state.update(t_new + _carry_fields(carry) if has_cep else t_new)
             # completed keys are frozen tombstones — re-arm the timer only
             # when a TTL exists to eventually evict them; otherwise heartbeat
@@ -387,10 +429,19 @@ def ordered_stream(df: DataFrame, cfg: OrderedStreamConfig | None = None) -> Dat
     cfg = cfg or OrderedStreamConfig()
     timeout = "ProcessingTimeTimeout" if cfg.status_heartbeat_ms else "NoTimeout"
     has_cep = cfg.pattern is not None
+    if has_cep:
+        # per-mode state schema: the carry (strict) and the frontier (skip)
+        # have different field types, so a checkpoint written under one mode
+        # refuses the other via the state-store schema-compat check
+        state_schema = (
+            STATE_SCHEMA_CEP_SKIP if cfg.pattern_mode == "skip" else STATE_SCHEMA_CEP
+        )
+    else:
+        state_schema = STATE_SCHEMA
     return df.groupBy("conv_id").applyInPandasWithState(
         make_ordered_func(cfg),
         outputStructType=STREAM_OUTPUT_SCHEMA_CEP if has_cep else STREAM_OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA_CEP if has_cep else STATE_SCHEMA,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=timeout,
     )

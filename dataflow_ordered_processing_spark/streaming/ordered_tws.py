@@ -65,6 +65,13 @@ CEP_CARRY_SCHEMA = (
     "turn_idx array<long>, role array<string>, tool array<string>, "
     "ts_us array<long>"
 )
+# skip-mode (followedBy) partial-match frontier — a DIFFERENT state name and
+# schema from the strict carry, so resuming a checkpoint under the other
+# pattern mode is refused by the state store instead of mis-decoding
+CEP_FRONTIER_SCHEMA = (
+    "anchor_idx array<long>, anchor_ts_us array<long>, wait array<long>, "
+    "next_expected long"
+)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -110,13 +117,34 @@ class TwsConfig:
     # max_emit_per_batch is set — a silent strand is worse than a loud
     # config error.
     ack_arrivals_driven_drain: bool = False
-    # CEP strict pattern (same contract as OrderedStreamConfig.pattern —
-    # matched over the in-order emission, (k-1)-turn carry in a ValueState,
-    # matches as row_type='match' in the *_CEP output schema)
+    # CEP pattern (same contract as OrderedStreamConfig.pattern — matched
+    # over the in-order emission, state in a ValueState: strict carries the
+    # trailing k-1 turns, skip carries the partial-match frontier; matches
+    # as row_type='match' in the *_CEP output schema)
     pattern: tuple | None = None
     pattern_within_s: int | None = None
+    pattern_mode: str = "strict"  # "strict" (next) | "skip" (followedBy)
+    pattern_within_turns: int | None = None  # skip: max last_idx - first_idx
+    pattern_not_between: dict | None = None  # skip: {segment_i: Step} guards
 
     def __post_init__(self) -> None:
+        if self.pattern is not None:
+            cep_core.stream_matcher(
+                self.pattern,
+                self.pattern_mode,
+                self.pattern_within_s,
+                self.pattern_within_turns,
+                self.pattern_not_between,
+            )
+        elif (
+            self.pattern_mode != "strict"
+            or self.pattern_within_turns is not None
+            or self.pattern_not_between
+        ):
+            raise ValueError(
+                "pattern_mode/pattern_within_turns/pattern_not_between "
+                "require pattern"
+            )
         if self.max_emit_per_batch is not None and not self.ack_arrivals_driven_drain:
             raise ValueError(
                 "TwsConfig(max_emit_per_batch=...) on the TWS engine drains "
@@ -135,14 +163,29 @@ _DEFAULT_CURSOR = (0, 0, 0, 0, False, 0, 0, 0, 0, 0, 0, 0)
 class OrderedProcessor(StatefulProcessor):
     def __init__(self, cfg: TwsConfig | None = None):
         self.cfg = cfg or TwsConfig()
+        self.matcher = (
+            cep_core.stream_matcher(
+                self.cfg.pattern,
+                self.cfg.pattern_mode,
+                self.cfg.pattern_within_s,
+                self.cfg.pattern_within_turns,
+                self.cfg.pattern_not_between,
+            )
+            if self.cfg.pattern is not None
+            else None
+        )
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         ttl = self.cfg.state_ttl_ms
         self.cursor = handle.getValueState("cursor", CURSOR_SCHEMA, ttl)
         self.buffer = handle.getListState("buffer", BUFFER_SCHEMA, ttl)
-        if self.cfg.pattern is not None:
-            self.cep_carry = handle.getValueState(
-                "cep_carry", CEP_CARRY_SCHEMA, ttl
+        if self.matcher is not None:
+            # per-mode name AND schema: flipping pattern_mode on an existing
+            # checkpoint is a state-store error, not a silent mis-decode
+            self.cep_state = (
+                handle.getValueState("cep_frontier", CEP_FRONTIER_SCHEMA, ttl)
+                if self.matcher.mode == "skip"
+                else handle.getValueState("cep_carry", CEP_CARRY_SCHEMA, ttl)
             )
 
     def close(self) -> None:
@@ -304,46 +347,41 @@ class OrderedProcessor(StatefulProcessor):
             result += n_emit
             df_out = _data_frame(conv_id, pd.DataFrame(emitted_cols, copy=False))
             yield _pad_cep(df_out) if cfg.pattern is not None else df_out
-            if cfg.pattern is not None:
+            if self.matcher is not None:
                 prior = (
-                    tuple(self.cep_carry.get()) if self.cep_carry.exists() else None
+                    tuple(self.cep_state.get()) if self.cep_state.exists() else None
                 )
-                carry_in = (
-                    cep_core.carry_from_lists(*prior[:4])
+                state_in = (
+                    self.matcher.state_from_lists(*prior[:4])
                     if prior is not None
                     else None
                 )
-                within_us = (
-                    cfg.pattern_within_s * 1_000_000
-                    if cfg.pattern_within_s is not None
-                    else None
-                )
-                matches, carry = cep_core.match_strict(
-                    tuple(cfg.pattern),
-                    {c: emitted_cols[c] for c in cep_core.CEP_COLS},
-                    carry_in,
-                    within_us,
+                matches, cstate = self.matcher.match(
+                    {c: emitted_cols[c] for c in cep_core.CEP_COLS}, state_in
                 )
                 if last_event and buf_count == 0:
-                    # completion: drop the carry like the other engines —
-                    # the final sentinel delimits pattern scope
-                    self.cep_carry.clear()
+                    # completion: drop the CEP state like the other engines —
+                    # the final sentinel delimits pattern scope (skip: open
+                    # candidates can never complete once the conv has)
+                    self.cep_state.clear()
                 else:
-                    self.cep_carry.update(cep_core.carry_to_lists(carry))
+                    self.cep_state.update(
+                        tuple(self.matcher.state_to_lists(cstate))
+                    )
                 if len(matches["start_idx"]):
                     yield _match_frame(conv_id, matches)
         elif (
-            cfg.pattern is not None
+            self.matcher is not None
             and cfg.state_ttl_ms is not None
-            and self.cep_carry.exists()
+            and self.cep_state.exists()
         ):
             # TTL keep-alive (ADVICE r6): cursor/buffer are rewritten on
-            # every arrival (fresh TTL) but the carry is only rewritten when
-            # the key emits — a key buffering out-of-order turns past the
-            # TTL would lose its carry (and the ≤(k-1)-row window of matches
-            # spanning the last emission boundary) while staying live.
-            # Touch it so all three states share one expiry clock.
-            self.cep_carry.update(tuple(self.cep_carry.get()))
+            # every arrival (fresh TTL) but the CEP state is only rewritten
+            # when the key emits — a key buffering out-of-order turns past
+            # the TTL would lose its carry/frontier (and the matches spanning
+            # the last emission boundary) while staying live. Touch it so all
+            # three states share one expiry clock.
+            self.cep_state.update(tuple(self.cep_state.get()))
 
         self.cursor.update(
             (

@@ -1059,16 +1059,31 @@ def console_stream(df: DataFrame, n: int = 20):
     ).start()
 
 
-def _pattern_spec(pattern, within_s: int | None = None) -> dict | None:
+def _pattern_spec(
+    pattern,
+    within_s: int | None = None,
+    mode: str = "strict",
+    within_turns: int | None = None,
+    not_between: dict | None = None,
+) -> dict | None:
     """Canonical JSON form of a CEP pattern for the checkpoint marker. The
     within bound is part of match semantics (review r6c: resuming with a
     different bound would silently change what counts as a match), so it is
-    pinned too."""
+    pinned too — as are the r7 skip-mode knobs (mode, within_turns,
+    not_between guards): the skip frontier state is meaningless under a
+    different pattern algebra."""
     if pattern is None:
         return None
     return {
         "steps": [[s.name, s.role, s.tool] for s in pattern],
         "within_s": within_s,
+        "mode": mode,
+        "within_turns": within_turns,
+        "not_between": (
+            {str(i): [g.name, g.role, g.tool] for i, g in sorted(not_between.items())}
+            if not_between
+            else None
+        ),
     }
 
 
@@ -1121,6 +1136,12 @@ def _check_engine_marker(
         prior.setdefault("pattern", None)
         if isinstance(prior["pattern"], list):
             prior["pattern"] = {"steps": prior["pattern"], "within_s": None}
+        if isinstance(prior["pattern"], dict):
+            # pre-r7 markers pinned strict-only patterns without the
+            # skip-mode keys — normalize so identical configs still resume
+            prior["pattern"].setdefault("mode", "strict")
+            prior["pattern"].setdefault("within_turns", None)
+            prior["pattern"].setdefault("not_between", None)
         if prior != current:
             raise ValueError(
                 f"checkpoint {checkpoint!r} was written by engine config "
@@ -1165,6 +1186,9 @@ def start_ordered_pipeline(
             _pattern_spec(
                 stream_cfg.pattern if stream_cfg else None,
                 stream_cfg.pattern_within_s if stream_cfg else None,
+                stream_cfg.pattern_mode if stream_cfg else "strict",
+                stream_cfg.pattern_within_turns if stream_cfg else None,
+                stream_cfg.pattern_not_between if stream_cfg else None,
             ),
         )
     unified = build_ordered_stream(source, stream_cfg, engine=engine, n_shards=n_shards)

@@ -251,6 +251,27 @@ def parse_pattern(spec: str):
     return tuple(steps)
 
 
+def parse_not_between(spec: str) -> dict:
+    """'0:g=tool/code,1:h=user' → {0: Step, 1: Step} (skip-mode negative
+    guards; the segment index picks which step gap the guard watches)."""
+    from dataflow_ordered_processing_spark.operators.cep_core import Step
+
+    out = {}
+    for part in spec.split(","):
+        part = part.strip()
+        seg, _, step_spec = part.partition(":")
+        if not step_spec or "=" not in step_spec:
+            raise ValueError(
+                f"bad not_between entry {part!r} (want segment:name=role[/tool])"
+            )
+        name, pred = step_spec.split("=", 1)
+        role, _, tool = pred.partition("/")
+        out[int(seg)] = Step(
+            name.strip(), role=role.strip() or None, tool=tool.strip() or None
+        )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", required=True, help="directory of arrival parquet files")
@@ -410,6 +431,30 @@ def main() -> int:
         "timestamp span exceeds this many seconds",
     )
     ap.add_argument(
+        "--pattern-mode",
+        choices=("strict", "skip"),
+        default="strict",
+        help="CEP contiguity: 'strict' = consecutive turns (Flink `next`), "
+        "'skip' = skip-till-next-match (Flink `followedBy` — the funnel "
+        "mode; steps may have other turns between them). Pinned in the "
+        "checkpoint marker (the two modes carry different state)",
+    )
+    ap.add_argument(
+        "--pattern-within-turns",
+        type=int,
+        default=None,
+        help="CEP skip mode: drop matches whose first-to-last turn_idx "
+        "distance exceeds this (row-bounded funnel)",
+    )
+    ap.add_argument(
+        "--pattern-not-between",
+        default=None,
+        help="CEP skip mode negative guards (Flink notFollowedBy): comma-"
+        "separated 'segment:name=role[/tool]' entries, e.g. "
+        "'0:g=tool/code' = no code tool call strictly between matched "
+        "step 0 and step 1",
+    )
+    ap.add_argument(
         "--merge-on-key",
         action="store_true",
         help="paranoid exactly-once: additionally drop data rows at or below "
@@ -423,6 +468,11 @@ def main() -> int:
     # before any checkpoint marker is written) so a bad invocation fails in
     # milliseconds with a clean error
     pattern = parse_pattern(args.pattern) if args.pattern else None
+    not_between = (
+        parse_not_between(args.pattern_not_between)
+        if args.pattern_not_between
+        else None
+    )
     if pattern and (args.hot_keys or args.hot_key_threshold or args.auto_hot_keys):
         # routed conversations bypass the ordered engine (raw side channel →
         # salted batch ordering), which never runs the CEP matcher — their
@@ -469,6 +519,9 @@ def main() -> int:
         evict_idle_after_heartbeats=args.evict_idle_heartbeats,
         pattern=pattern,
         pattern_within_s=args.pattern_within_s,
+        pattern_mode=args.pattern_mode,
+        pattern_within_turns=args.pattern_within_turns,
+        pattern_not_between=not_between,
     )
     sink = SinkConfig(
         data_path=os.path.join(args.out, "data"),
@@ -550,7 +603,13 @@ def main() -> int:
 
     _check_engine_marker(
         args.checkpoint, args.engine, n_shards,
-        _pattern_spec(pattern, args.pattern_within_s),
+        _pattern_spec(
+            pattern,
+            args.pattern_within_s,
+            args.pattern_mode,
+            args.pattern_within_turns,
+            not_between,
+        ),
     )
     unified = build_ordered_stream(src, cfg, engine=args.engine, n_shards=n_shards)
     writer = (

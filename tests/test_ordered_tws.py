@@ -455,4 +455,4 @@ def test_tws_cep_carry_cleared_at_completion():
     cfg = TwsConfig(pattern=steps)
     _, procs = _run_body_cep([full.iloc[:4], full.iloc[4:]], cfg)
     proc = procs["conv-000004"]
-    assert not proc.cep_carry.exists()  # completion dropped the carry
+    assert not proc.cep_state.exists()  # completion dropped the carry
