@@ -1026,11 +1026,18 @@ _CEP_STRICT_ORACLE = _with_transcripts(
     """
 )
 
-def _cep_funnel_oracle(final_where: str, guard0: str | None = None) -> str:
+def _cep_funnel_oracle(
+    final_where: str,
+    guard0: str | None = None,
+    source: str = "transcripts",
+    project: str = "conv_id, u_idx, s_idx, a_idx, ts_first, ts_last, span_us",
+) -> str:
     """ONE body for every skip-funnel oracle variant — the final WHERE
-    bound (time vs turn distance) and an optional anchor→step-1 negative
-    guard are the only things that may differ (review r6e: verbatim copies
-    of the CTE chain would drift)."""
+    bound (time vs turn distance), an optional anchor→step-1 negative
+    guard, the source relation (full transcripts vs the stream's emittable
+    contiguous prefix), and the output projection (per-step idx columns vs
+    the streaming match-row start/end shape) are the only things that may
+    differ (review r6e: verbatim copies of the CTE chain would drift)."""
     g_col = (
         f",\n               min(CASE WHEN {guard0} THEN turn_idx END) "
         "OVER wf AS g0"
@@ -1040,14 +1047,14 @@ def _cep_funnel_oracle(final_where: str, guard0: str | None = None) -> str:
     g_where = " AND (g0 IS NULL OR g0 >= n1)" if guard0 else ""
     return _with_transcripts(
         f"""
-    SELECT conv_id, u_idx, s_idx, a_idx, ts_first, ts_last, span_us FROM (
+    SELECT {project} FROM (
       WITH base AS (
         SELECT conv_id, turn_idx, ts, role = 'user' AS _m0,
                min(CASE WHEN role = 'tool' AND tool = 'search'
                         THEN turn_idx END) OVER wf AS n1,
                min(CASE WHEN role = 'assistant'
                         THEN turn_idx END) OVER wf AS n2{g_col}
-        FROM transcripts
+        FROM {source}
         WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
       ),
@@ -1202,6 +1209,129 @@ def _q_cep_stream(spark, sf_dir):
     return matches
 
 
+# Quantified-step predicate: a deterministic per-turn flag with genuine
+# run-length variance (p≈0.5 geometric runs) — the transcripts' role column
+# is a rigid user→assistant→tool cycle, so same-role runs never exceed one
+# turn and can't exercise a quantifier. Same md5 recipe as _DAMAGE (':q'
+# salt decorrelates), identical in Spark and DuckDB.
+_CEP_TIMES_FLAG = (
+    "substr(md5(concat(conv_id, ':', CAST(turn_idx AS STRING), ':q')), 1, 1)"
+    " >= '8'"
+)
+
+
+def _q_cep_times(spark, sf_dir):
+    """Quantified CEP (cep_core.Times — Flink times(n)/oneOrMore analog,
+    r7): a MAXIMAL run of >=3 consecutive flagged turns followed
+    (skip-till-next) by a user turn, completing within 12 turns of the run
+    start. Plan: run detection (lag + nearest-following-break) and hop
+    tables in one (conv_id, turn_idx) window pass, then narrow equi-join
+    hops — plans/cep._match_skip_quant."""
+    from dataflow_ordered_processing_spark.operators.cep_core import Times
+    from dataflow_ordered_processing_spark.plans.cep import match_pattern
+
+    return match_pattern(
+        derive_transcripts(spark, sf_dir),
+        [Times(("h", _CEP_TIMES_FLAG), 3, None), _CepStep("u", role="user")],
+        mode="skip",
+        within_turns=12,
+    )
+
+
+_CEP_TIMES_ORACLE = _with_transcripts(
+    f"""
+    SELECT conv_id, h_idx, h_end_idx, u_idx, ts_first, ts_last, span_us FROM (
+      WITH base AS (
+        SELECT conv_id, turn_idx, ts, role,
+               {_CEP_TIMES_FLAG} AS p,
+               coalesce(lag({_CEP_TIMES_FLAG}) OVER w, FALSE) AS prevp,
+               min(CASE WHEN NOT ({_CEP_TIMES_FLAG}) THEN turn_idx END)
+                   OVER wf AS nb,
+               max(turn_idx) OVER (PARTITION BY conv_id) AS mx,
+               min(CASE WHEN role = 'user' THEN turn_idx END) OVER wf AS nu
+        FROM transcripts
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+               wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      ),
+      runs AS (
+        SELECT conv_id, turn_idx AS h_idx, ts AS ts_first,
+               coalesce(nb - 1, mx) AS h_end_idx
+        FROM base
+        WHERE p AND NOT prevp AND coalesce(nb - 1, mx) - turn_idx + 1 >= 3
+      ),
+      hop AS (
+        SELECT r.conv_id, r.h_idx, r.h_end_idx, r.ts_first, b.nu AS u_idx
+        FROM runs r
+        JOIN base b ON b.conv_id = r.conv_id AND b.turn_idx = r.h_end_idx
+        WHERE b.nu IS NOT NULL
+      )
+      SELECT h.conv_id, h.h_idx, h.h_end_idx, h.u_idx, h.ts_first,
+             b2.ts AS ts_last,
+             epoch_us(b2.ts) - epoch_us(h.ts_first) AS span_us
+      FROM hop h
+      JOIN base b2 ON b2.conv_id = h.conv_id AND b2.turn_idx = h.u_idx
+      WHERE h.u_idx - h.h_idx <= 12
+    )
+    """
+)
+
+
+def _q_cep_funnel_stream(spark, sf_dir):
+    """Skip-till-next CEP ON THE STREAM (r7): the classic stateful engine
+    orders the damaged out-of-order arrival AND runs the funnel pattern
+    (user → search → assistant, followedBy semantics, within bound) over
+    its in-order emission in ONE streaming query — the partial-match
+    frontier carries open candidates across micro-batch boundaries. Same
+    genuinely-multi-batch staging as cep_stream (24 files / 8 per trigger
+    = 3 micro-batches). Oracle = the batch skip plan over the emittable
+    contiguous-prefix rows, projected to the match-row start/end shape."""
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming import (
+        OrderedStreamConfig,
+        ordered_stream,
+    )
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+        split_output_cep,
+    )
+
+    stage = _stage_dir("cep-funnel-stream-src")
+    _arrival_df(spark, sf_dir).repartition(24).write.mode("overwrite").parquet(stage)
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(stage)
+    )
+    name = "cep_funnel_stream_out"
+    cfg = OrderedStreamConfig(
+        pattern=tuple(_CEP_FUNNEL_STEPS),
+        pattern_mode="skip",
+        pattern_within_s=_CEP_FUNNEL_WITHIN_S,
+    )
+    q = (
+        ordered_stream(src, cfg)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _, _, matches = split_output_cep(spark.table(name))
+    return matches
+
+
+_CEP_FUNNEL_STREAM_ORACLE = _cep_funnel_oracle(
+    f"epoch_us(ts_last) - epoch_us(ts_first) "
+    f"<= {_CEP_FUNNEL_WITHIN_S} * CAST(1000000 AS BIGINT)",
+    source="(SELECT * FROM classified WHERE rn = turn_idx)",
+    project=(
+        "conv_id, CAST(u_idx AS BIGINT) AS start_idx, "
+        "CAST(a_idx AS BIGINT) AS end_idx, ts_first, ts_last, span_us"
+    ),
+)
+
+
 _CEP_STREAM_ORACLE = _with_transcripts(
     """
     SELECT conv_id, start_idx, end_idx, ts_first, ts_last, span_us FROM (
@@ -1315,7 +1445,16 @@ def _q_hotkey_routed(spark, sf_dir):
 # maintenance cycle) enters at the head; plain ivf_topk moves to extras —
 # its per-call plan shares the byte-identical trained-IVF oracle with the
 # in-gate ivf_topk_indexed, so the operator family keeps two driver rows.
+# r7 rotation: cep_times (quantified steps) and cep_funnel_stream
+# (streaming skip-mode CEP) — the round's new capabilities — lead;
+# dedup_keep_first and doc_length_stats move to extras (keep_first differs
+# from in-gate dedup_exact only by the keep-policy window rank;
+# doc_length_stats is a plain agg whose text-stats family keeps
+# token_count/quality_score/vocab_topk in-gate — both still exact-checked
+# in extras).
 _NEVER_CHECKED_FIRST = [
+    "cep_times",
+    "cep_funnel_stream",
     "cep_strict",
     "cep_funnel",
     "cep_stream",
@@ -1335,6 +1474,8 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
+    "dedup_keep_first",
+    "doc_length_stats",
     "cep_funnel_turns",
     "cep_funnel_rate",
     "cep_funnel_guarded",
@@ -1387,6 +1528,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cep_strict": _q_cep_strict,
         "cep_funnel": _q_cep_funnel,
+        "cep_funnel_stream": _q_cep_funnel_stream,
+        "cep_times": _q_cep_times,
         "cep_stream": _q_cep_stream,
         "cep_funnel_turns": _q_cep_funnel_turns,
         "cep_funnel_rate": _q_cep_funnel_rate,
@@ -1580,6 +1723,8 @@ def _all_oracles() -> dict[str, str]:
         "tumbling_stream": _TUMBLING_ORACLE,
         "cep_strict": _CEP_STRICT_ORACLE,
         "cep_funnel": _CEP_FUNNEL_ORACLE,
+        "cep_funnel_stream": _CEP_FUNNEL_STREAM_ORACLE,
+        "cep_times": _CEP_TIMES_ORACLE,
         "cep_stream": _CEP_STREAM_ORACLE,
         "cep_funnel_turns": _CEP_FUNNEL_TURNS_ORACLE,
         "cep_funnel_rate": _cep_funnel_rate_oracle(),

@@ -91,6 +91,65 @@ class Step:
         return m
 
 
+@dataclass(frozen=True)
+class Times:
+    """Quantified pattern step (Flink CEP ``times(n)`` / ``times(n, m)`` /
+    ``oneOrMore`` analog): the step matches a MAXIMAL consecutive run of
+    rows satisfying ``step``'s predicate whose length L satisfies
+    ``n_min <= L`` (and ``L <= n_max`` when set).
+
+    Semantics pinned deliberately at maximal munch (one match per maximal
+    run), NOT Flink's per-combination enumeration: under the engine's
+    ALL-anchors overlap policy, enumerating every sub-run of every run
+    explodes combinatorially and answers no real funnel question. "3+
+    consecutive tool turns then a user turn" reads as runs, and runs are
+    what this matches. A run longer than ``n_max`` does not match at all
+    (the run IS the unit); use ``n_max=None`` (``{n,}``) for the common
+    oneOrMore/atLeast cases.
+
+    Run detection uses per-key gap-free ``order`` contiguity (M3 — the
+    ordered table's invariant, the same assumption strict mode's
+    ``end == start + k - 1`` guard makes).
+
+    ``step`` is a Step or a raw ``(name, sql)`` pair (the batch operator's
+    tuple form — quantified predicates often aren't structural role/tool
+    equalities).
+    """
+
+    step: object  # Step | (name, sql)
+    n_min: int = 1
+    n_max: int | None = None
+
+    def __post_init__(self):
+        if self.n_min < 1:
+            raise ValueError("times: n_min must be >= 1")
+        if self.n_max is not None and self.n_max < self.n_min:
+            raise ValueError("times: n_max must be >= n_min")
+        if not isinstance(self.step, Step) and not (
+            isinstance(self.step, (tuple, list)) and len(self.step) == 2
+        ):
+            raise ValueError(
+                "times: step must be a Step or a (name, sql) pair"
+            )
+
+    @property
+    def name(self) -> str:
+        return (
+            self.step.name if isinstance(self.step, Step) else str(self.step[0])
+        )
+
+    @property
+    def sql(self) -> str:
+        return (
+            self.step.sql if isinstance(self.step, Step) else str(self.step[1])
+        )
+
+
+def one_or_more(step: Step) -> Times:
+    """FlinkCEP ``oneOrMore()`` — at least one consecutive occurrence."""
+    return Times(step, 1, None)
+
+
 def _concat(carry: dict | None, run: dict) -> dict:
     if carry is None or len(carry["turn_idx"]) == 0:
         return run
@@ -441,6 +500,11 @@ def stream_matcher(
     k = len(steps)
     if k < 2:
         raise ValueError("a pattern needs at least 2 steps")
+    if any(isinstance(s, Times) for s in steps):
+        raise ValueError(
+            "quantified steps (Times) are batch-only — use "
+            "plans.cep.match_pattern over the ordered table"
+        )
     if mode not in ("strict", "skip"):
         raise ValueError(f"unknown pattern mode {mode!r} (strict | skip)")
     if mode == "strict":

@@ -36,22 +36,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.cep_core import Step
+from ..operators.cep_core import Step, Times
 
 
-def _norm(steps) -> list[tuple[str, str]]:
-    """Normalize steps to (name, sql_predicate) pairs; accepts Step objects
-    (shared with the streaming matcher) or raw (name, sql) tuples."""
+def _norm(steps) -> list[dict]:
+    """Normalize steps to {name, sql, quant, n_min, n_max} dicts; accepts
+    Step objects (shared with the streaming matcher), Times wrappers
+    (quantified steps — see cep_core.Times for the maximal-run semantics),
+    or raw (name, sql) tuples."""
     out = []
     for s in steps:
-        if isinstance(s, Step):
-            out.append((s.name, s.sql))
+        if isinstance(s, Times):
+            out.append(
+                {
+                    "name": s.name,
+                    "sql": s.sql,
+                    "quant": True,
+                    "n_min": s.n_min,
+                    "n_max": s.n_max,
+                }
+            )
+        elif isinstance(s, Step):
+            out.append(
+                {"name": s.name, "sql": s.sql, "quant": False, "n_min": 1, "n_max": 1}
+            )
         else:
             name, sql = s
-            out.append((str(name), str(sql)))
+            out.append(
+                {
+                    "name": str(name),
+                    "sql": str(sql),
+                    "quant": False,
+                    "n_min": 1,
+                    "n_max": 1,
+                }
+            )
     if len(out) < 2:
         raise ValueError("a pattern needs at least 2 steps")
-    if len({n for n, _ in out}) != len(out):
+    if len({p["name"] for p in out}) != len(out):
         raise ValueError("step names must be unique")
     return out
 
@@ -104,12 +126,48 @@ def match_pattern(
                 "not_between applies to skip mode only — strict steps are "
                 "consecutive turns with nothing between them"
             )
+        pairs = _expand_strict_times(pairs)
         return _match_strict(df, pairs, within, key, order, ts)
     if mode == "skip":
+        if any(p["quant"] for p in pairs):
+            return _match_skip_quant(
+                df, pairs, within, within_turns, guards, key, order, ts
+            )
         return _match_skip(
             df, pairs, within, within_turns, guards, key, order, ts
         )
     raise ValueError(f"unknown mode {mode!r} (strict | skip)")
+
+
+def _expand_strict_times(pairs: list[dict]) -> list[dict]:
+    """Strict mode: times(n, n) is exactly n consecutive copies of the step
+    (Flink strict contiguity — overlapping anchors inside longer runs DO
+    match, unlike skip mode's maximal-run reading). Open-ended quantifiers
+    have no finite strict expansion — use skip mode for those."""
+    out = []
+    for p in pairs:
+        if not p["quant"]:
+            out.append(p)
+            continue
+        if p["n_max"] != p["n_min"]:
+            raise ValueError(
+                f"strict mode requires an exact count — times({p['n_min']}, "
+                f"{p['n_max']}) on step {p['name']!r} has no finite strict "
+                "expansion; use skip mode"
+            )
+        for j in range(p["n_min"]):
+            out.append(
+                {
+                    "name": f"{p['name']}_{j + 1}",
+                    "sql": p["sql"],
+                    "quant": False,
+                    "n_min": 1,
+                    "n_max": 1,
+                }
+            )
+    if len(out) < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    return out
 
 
 def _norm_guards(not_between, k) -> dict:
@@ -153,9 +211,9 @@ def _micros(c):
 def _match_strict(df, pairs, within, key, order, ts) -> DataFrame:
     k = len(pairs)
     w = Window.partitionBy(key).orderBy(order)
-    cond = F.expr(pairs[0][1])
-    for i, (_, sql) in enumerate(pairs[1:], start=1):
-        cond = cond & F.coalesce(F.lead(F.expr(sql), i).over(w), F.lit(False))
+    cond = F.expr(pairs[0]["sql"])
+    for i, p in enumerate(pairs[1:], start=1):
+        cond = cond & F.coalesce(F.lead(F.expr(p["sql"]), i).over(w), F.lit(False))
     # strict contiguity: the (k-1)-th following ROW must be exactly k-1
     # sequence steps ahead (order is a gap-free int per key, M3) — a single
     # guard on the last lead pins every intermediate row too
@@ -200,8 +258,8 @@ def _match_skip(
     # guard — in one window pass (one shuffle, k + #guards aggregates over
     # the same frame)
     cols = {
-        f"_next_{i}": F.min(F.when(F.expr(sql), F.col(order))).over(wf)
-        for i, (_, sql) in enumerate(pairs)
+        f"_next_{i}": F.min(F.when(F.expr(p["sql"]), F.col(order))).over(wf)
+        for i, p in enumerate(pairs)
         if i > 0
     }
     cols.update(
@@ -211,12 +269,12 @@ def _match_skip(
         }
     )
     base = df.withColumns(cols).select(
-        key, order, ts, F.expr(pairs[0][1]).alias("_m0"),
+        key, order, ts, F.expr(pairs[0]["sql"]).alias("_m0"),
         *[f"_next_{i}" for i in range(1, k)],
         *[f"_ng_{i}" for i in guards],
     )
 
-    name0 = pairs[0][0]
+    name0 = pairs[0]["name"]
     anchor = base.filter(F.col("_m0") & F.col("_next_1").isNotNull())
     if 0 in guards:
         # notFollowedBy between anchor and step 1: the nearest following
@@ -229,12 +287,12 @@ def _match_skip(
         key,
         F.col(order).alias(f"{name0}_idx"),
         F.col(ts).alias("ts_first"),
-        F.col("_next_1").alias(f"{pairs[1][0]}_idx"),
+        F.col("_next_1").alias(f"{pairs[1]['name']}_idx"),
     )
     # hop the chain: fetch each matched row's ts and ITS nearest-next for
     # the following step — (key, idx) equi-joins over narrow rows
     for i in range(1, k):
-        name_i = pairs[i][0]
+        name_i = pairs[i]["name"]
         sel = [F.col(key).alias("_jk"), F.col(order).alias("_ji"),
                F.col(ts).alias("_jts")]
         if i + 1 < k:
@@ -257,7 +315,7 @@ def _match_skip(
                     F.col("_jg").isNull() | (F.col("_jg") >= F.col("_jn"))
                 ).drop("_jg")
             cur = (
-                cur.withColumnRenamed("_jn", f"{pairs[i + 1][0]}_idx")
+                cur.withColumnRenamed("_jn", f"{pairs[i + 1]['name']}_idx")
                 .drop("_jts")
             )
         else:
@@ -268,13 +326,193 @@ def _match_skip(
     if wus is not None:
         cur = cur.filter(F.col("span_us") <= F.lit(wus))
     if within_turns is not None:
-        first_idx = F.col(f"{pairs[0][0]}_idx")
-        last_idx = F.col(f"{pairs[-1][0]}_idx")
+        first_idx = F.col(f"{pairs[0]['name']}_idx")
+        last_idx = F.col(f"{pairs[-1]['name']}_idx")
         cur = cur.filter(last_idx - first_idx <= F.lit(int(within_turns)))
     return cur.select(
         key,
-        *[f"{n}_idx" for n, _ in pairs],
+        *[f"{p['name']}_idx" for p in pairs],
         "ts_first",
         "ts_last",
         "span_us",
     )
+
+
+def _match_skip_quant(
+    df, pairs, within, within_turns, guards, key, order, ts
+) -> DataFrame:
+    """Skip-till-next with quantified steps (cep_core.Times): a quantified
+    step consumes a MAXIMAL consecutive run of its predicate with length in
+    [n_min, n_max]; the chain continues from the run's END (greedy), so the
+    next step's nearest-following lookup starts strictly after the run.
+
+    Plan shape (generalizes _match_skip; that plain-only path is kept
+    verbatim so existing pattern plans are untouched):
+      layer 1 — per quantified step, run detection over ONE (key, order)
+        window pass: run start = pred AND NOT lag(pred); run end =
+        nearest-following NON-pred row - 1 (order is gap-free per key, the
+        M3 invariant) else the key's max order; qualifying = length bounds.
+      layer 2 — per-step nearest-following-match columns over the SAME
+        window frame (qualifying run STARTS for quantified steps, plain
+        predicate rows otherwise) + negative-guard columns. Two projection
+        layers because Spark cannot nest a window inside a window; both
+        resolve over one hash exchange on the key.
+      hops — per step, a lookup join at the continue position (fetches the
+        nearest following match + the segment guard, both evaluated there)
+        and a fetch join at the matched position (ts + run end). Narrow
+        (key, int, ts) rows only, same as the plain path; a quantified step
+        costs one extra narrow join over a plain one.
+
+    Output: key, <name>_idx per step (+ <name>_end_idx for quantified
+    steps — the consumed run's last row), ts_first, ts_last, span_us. For a
+    quantified last step ts_last/span are measured at the run END (the
+    match's true last row).
+    """
+    k = len(pairs)
+    w = Window.partitionBy(key).orderBy(order)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    wall = Window.partitionBy(key)
+
+    layer1 = {}
+    for i, p in enumerate(pairs):
+        if not p["quant"]:
+            continue
+        # NULL predicate (e.g. tool = 'x' on a NULL-tool row) means "not a
+        # run member" — coalesce to FALSE so the row both fails membership
+        # AND counts as a run break (bare ~NULL is NULL, which when() would
+        # skip, silently extending runs across such rows)
+        pred = F.coalesce(F.expr(p["sql"]), F.lit(False))
+        is_start = pred & ~F.coalesce(F.lag(pred).over(w), F.lit(False))
+        next_break = F.min(F.when(~pred, F.col(order))).over(wf)
+        run_end = F.coalesce(
+            next_break - F.lit(1), F.max(F.col(order)).over(wall)
+        )
+        run_len = run_end - F.col(order) + F.lit(1)
+        q = is_start & (run_len >= F.lit(int(p["n_min"])))
+        if p["n_max"] is not None:
+            q = q & (run_len <= F.lit(int(p["n_max"])))
+        layer1[f"_qs_{i}"] = q
+        layer1[f"_qe_{i}"] = run_end
+    base1 = df.withColumns(layer1)
+
+    layer2 = {}
+    for i, p in enumerate(pairs):
+        hit = F.col(f"_qs_{i}") if p["quant"] else F.expr(p["sql"])
+        if i == 0:
+            layer2["_m0"] = hit
+        else:
+            layer2[f"_next_{i}"] = F.min(F.when(hit, F.col(order))).over(wf)
+    for j, gsql in guards.items():
+        layer2[f"_ng_{j}"] = F.min(F.when(F.expr(gsql), F.col(order))).over(wf)
+    base = base1.withColumns(layer2).select(
+        key,
+        order,
+        ts,
+        "_m0",
+        *[f"_next_{i}" for i in range(1, k)],
+        *[f"_ng_{j}" for j in guards],
+        *[f"_qe_{i}" for i, p in enumerate(pairs) if p["quant"]],
+    )
+
+    name0 = pairs[0]["name"]
+    anchor_cols = [
+        F.col(key).alias(key),
+        F.col(order).alias(f"{name0}_idx"),
+        F.col(ts).alias("ts_first"),
+    ]
+    if pairs[0]["quant"]:
+        anchor_cols += [
+            F.col("_qe_0").alias(f"{name0}_end_idx"),
+            F.col("_qe_0").alias("_cp"),
+        ]
+    else:
+        anchor_cols.append(F.col(order).alias("_cp"))
+    cur = base.filter(F.col("_m0")).select(*anchor_cols)
+
+    for i in range(1, k):
+        p = pairs[i]
+        name_i = p["name"]
+        # lookup at the continue position: nearest following match of step
+        # i (+ the segment i-1 guard), both evaluated AT that row
+        look_sel = [
+            F.col(key).alias("_jk"),
+            F.col(order).alias("_ji"),
+            F.col(f"_next_{i}").alias("_jn"),
+        ]
+        if (i - 1) in guards:
+            look_sel.append(F.col(f"_ng_{i - 1}").alias("_jg"))
+        cur = (
+            cur.join(
+                base.select(*look_sel),
+                (F.col(key) == F.col("_jk")) & (F.col("_cp") == F.col("_ji")),
+                "inner",
+            )
+            .drop("_jk", "_ji", "_cp")
+            .filter(F.col("_jn").isNotNull())
+        )
+        if (i - 1) in guards:
+            cur = cur.filter(
+                F.col("_jg").isNull() | (F.col("_jg") >= F.col("_jn"))
+            ).drop("_jg")
+        cur = cur.withColumnRenamed("_jn", f"{name_i}_idx")
+        # fetch the matched row: its ts (+ the consumed run's end)
+        fetch_sel = [
+            F.col(key).alias("_jk"),
+            F.col(order).alias("_ji"),
+            F.col(ts).alias("_jts"),
+        ]
+        if p["quant"]:
+            fetch_sel.append(F.col(f"_qe_{i}").alias("_je"))
+        cur = cur.join(
+            base.select(*fetch_sel),
+            (F.col(key) == F.col("_jk"))
+            & (F.col(f"{name_i}_idx") == F.col("_ji")),
+            "inner",
+        ).drop("_jk", "_ji")
+        if p["quant"]:
+            cur = cur.withColumn("_cp", F.col("_je")).withColumnRenamed(
+                "_je", f"{name_i}_end_idx"
+            )
+            if i == k - 1:
+                # ts_last belongs to the run's END row, not its start
+                cur = cur.drop("_jts").join(
+                    base.select(
+                        F.col(key).alias("_jk"),
+                        F.col(order).alias("_ji"),
+                        F.col(ts).alias("ts_last"),
+                    ),
+                    (F.col(key) == F.col("_jk"))
+                    & (F.col("_cp") == F.col("_ji")),
+                    "inner",
+                ).drop("_jk", "_ji")
+            else:
+                cur = cur.drop("_jts")
+        else:
+            cur = cur.withColumn("_cp", F.col(f"{name_i}_idx"))
+            cur = (
+                cur.withColumnRenamed("_jts", "ts_last")
+                if i == k - 1
+                else cur.drop("_jts")
+            )
+    cur = cur.drop("_cp")
+
+    cur = cur.withColumn(
+        "span_us", _micros(F.col("ts_last")) - _micros(F.col("ts_first"))
+    )
+    wus = _within_us(within)
+    if wus is not None:
+        cur = cur.filter(F.col("span_us") <= F.lit(wus))
+    if within_turns is not None:
+        last = pairs[-1]
+        last_idx = F.col(
+            f"{last['name']}_end_idx" if last["quant"] else f"{last['name']}_idx"
+        )
+        cur = cur.filter(
+            last_idx - F.col(f"{name0}_idx") <= F.lit(int(within_turns))
+        )
+    out_cols = [key]
+    for p in pairs:
+        out_cols.append(f"{p['name']}_idx")
+        if p["quant"]:
+            out_cols.append(f"{p['name']}_end_idx")
+    return cur.select(*out_cols, "ts_first", "ts_last", "span_us")

@@ -35,7 +35,9 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
-def _stream_leg(src: str, cpus: int, workdir: str, pattern: str | None) -> dict:
+def _stream_leg(
+    src: str, cpus: int, workdir: str, pattern: str | None, extra: list | None = None
+) -> dict:
     out = os.path.join(workdir, "out-leg")
     ckpt = os.path.join(workdir, "ckpt-leg")
     shutil.rmtree(out, ignore_errors=True)
@@ -54,6 +56,8 @@ def _stream_leg(src: str, cpus: int, workdir: str, pattern: str | None) -> dict:
     ]
     if pattern:
         cmd += ["--pattern", pattern]
+    if extra:
+        cmd += extra
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
@@ -72,6 +76,12 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--batch-only",
+        action="store_true",
+        help="run only the batch legs and merge them into an existing "
+        "BENCH/cep.json (keeps its stream sections)",
+    )
     args = ap.parse_args()
 
     from scaling_bench import generate_input
@@ -103,11 +113,28 @@ def main() -> int:
         Step("s", role="tool", tool="search"),
         Step("a", role="assistant"),
     ]
+    # quantified (r7): a maximal run of >=3 "flagged" turns then a user
+    # turn — run detection + hop joins (_match_skip_quant). The flag is a
+    # deterministic md5 predicate (geometric run lengths; the corpus role
+    # column cycles, so same-role runs can't exercise a quantifier).
+    from dataflow_ordered_processing_spark.operators.cep_core import Times
+
+    flag = (
+        "substr(md5(concat(conv_id, ':', CAST(turn_idx AS STRING), ':q')),"
+        " 1, 1) >= '8'"
+    )
+    times_steps = [Times(("h", flag), 3, None), Step("u", role="user")]
 
     batch = {}
     for name, plan in (
         ("strict", lambda: match_pattern(df, strict_steps, mode="strict")),
         ("skip", lambda: match_pattern(df, skip_steps, mode="skip", within=100_000)),
+        (
+            "skip_times",
+            lambda: match_pattern(
+                df, times_steps, mode="skip", within_turns=12
+            ),
+        ),
     ):
         walls, matches = [], None
         for _ in range(args.reps):
@@ -124,15 +151,41 @@ def main() -> int:
         print(f"batch {name}: {batch[name]}", file=sys.stderr)
     spark.stop()
 
+    if args.batch_only:
+        path = os.path.join(REPO, "BENCH", "cep.json")
+        result = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                result = json.load(f)
+        result.update({"rows": n_rows, "convs": args.convs, "cpus": args.cpus})
+        result["batch"] = batch
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return 0
+
     # ---- streaming overhead: interleaved off/on reps, fresh JVM per leg
-    legs = {"off": [], "on": []}
+    legs = {"off": [], "on": [], "on_skip": []}
+    # on_skip (r7): the streaming skip-till-next frontier matcher — same
+    # funnel pattern+bound as the batch skip leg, through the full sharded
+    # pipeline
+    variants = (
+        ("off", None, None),
+        ("on", "u=user,a=assistant,c=tool", None),
+        (
+            "on_skip",
+            "u=user,s=tool/search,a=assistant",
+            ["--pattern-mode", "skip", "--pattern-within-s", "100000"],
+        ),
+    )
     for _ in range(args.reps):
-        for key, pattern in (("off", None), ("on", "u=user,a=assistant,c=tool")):
-            r = _stream_leg(src, args.cpus, workdir, pattern)
+        for key, pattern, extra in variants:
+            r = _stream_leg(src, args.cpus, workdir, pattern, extra)
             legs[key].append(r["turns_per_sec"])
             print(f"stream {key}: {r}", file=sys.stderr)
     med_off = statistics.median(legs["off"])
     med_on = statistics.median(legs["on"])
+    med_on_skip = statistics.median(legs["on_skip"])
 
     result = {
         "rows": n_rows,
@@ -142,9 +195,14 @@ def main() -> int:
         "batch": batch,
         "stream_turns_per_sec_off": legs["off"],
         "stream_turns_per_sec_on": legs["on"],
+        "stream_turns_per_sec_on_skip": legs["on_skip"],
         "stream_median_off": med_off,
         "stream_median_on": med_on,
+        "stream_median_on_skip": med_on_skip,
         "stream_matcher_overhead_pct": round(100.0 * (1 - med_on / med_off), 1),
+        "stream_skip_matcher_overhead_pct": round(
+            100.0 * (1 - med_on_skip / med_off), 1
+        ),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "cep.json"), "w") as f:

@@ -1,0 +1,172 @@
+"""Curation-chain macro bench (VERDICT r6 #7) → BENCH/curation_scale.json.
+
+`training_mix` and `dedup_pipeline` are gated at sf0.1 (≤77k rows); their
+100-TB posture claims (≤3 corpus scans, broadcast-only anti-join, digest-only
+LSH shuffles, CC over int pairs) deserve one macro point like ordering got.
+This tool:
+
+  1. generates a deterministic documents corpus at generator scale (pure
+     Spark SQL expressions — md5-driven word salad matching the testdata
+     documents' shape: ~50-word texts from a small vocab, ~6 langs with en
+     dominant, 20 sources; every 10th doc is a NEAR-DUPLICATE of its
+     decade's base doc (one word appended) so the LSH→verify→CC chain has
+     real work at a known rate);
+  2. runs the exact gate-query compositions at that scale, measuring wall
+     and docs/s per stage;
+  3. re-asserts the plan-shape pins (the tests' 100-TB contracts) on the
+     scaled plans — a posture claim verified only at 77k rows is not a
+     posture claim.
+
+Usage: python tools/curation_scale_bench.py [--docs 1000000] [--cpus 32]
+       [--reps 3] [--workdir /dev/shm/curation]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VOCAB = (
+    "spark batch part line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data shuffle join scale state buffer epoch"
+).split()
+LANGS = ["en", "en", "en", "en", "en", "en", "zh", "de", "fr", "ja"]
+
+
+def corpus_sql(n_docs: int) -> str:
+    """Deterministic documents table as ONE SQL expression over range(n).
+    Near-dup law: doc_id % 10 == 9 copies the text of doc_id - 9 and
+    appends one word — a 10% near-dup rate with known pairing."""
+    vocab = ", ".join(f"'{w}'" for w in VOCAB)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 9 THEN concat(base_text, ' extra')
+                ELSE base_text END AS text,
+           element_at(array({", ".join(f"'{x}'" for x in LANGS)}),
+                      CAST(pmod(hash(base_id, 7), {len(LANGS)}) AS INT) + 1)
+               AS lang,
+           concat('src', CAST(pmod(hash(base_id, 11), 20) AS STRING)) AS source,
+           length(CASE WHEN doc_id % 10 = 9 THEN concat(base_text, ' extra')
+                       ELSE base_text END) AS n_chars
+    FROM (
+      SELECT id AS doc_id,
+             CASE WHEN id % 10 = 9 THEN id - 9 ELSE id END AS base_id,
+             concat_ws(' ', transform(
+               sequence(1, 40 + CAST(pmod(hash(CASE WHEN id % 10 = 9
+                                               THEN id - 9 ELSE id END), 20)
+                                      AS INT)),
+               j -> element_at(array({vocab}),
+                    CAST(pmod(hash(CASE WHEN id % 10 = 9 THEN id - 9
+                                        ELSE id END, j), {len(VOCAB)})
+                         AS INT) + 1)
+             )) AS base_text
+      FROM range({n_docs})
+    )
+    """
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--workdir", default="/dev/shm/curation")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dataflow_ordered_processing_spark.functions import dedup, text
+    from dataflow_ordered_processing_spark.session import get_spark
+
+    spark = get_spark(
+        "curation-scale", master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus * 2,
+    )
+    src = os.path.join(args.workdir, f"docs-{args.docs}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.sql(corpus_sql(args.docs)).repartition(args.cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(src)
+        print(f"generated {args.docs} docs at {src}", file=sys.stderr)
+
+    docs = spark.read.parquet(src)
+    n_docs = docs.count()
+    bench_set = docs.filter(F.col("doc_id") % 97 == 0)
+
+    def mix_plan():
+        return text.training_mix(
+            docs,
+            bench_set,
+            lang="en",
+            min_quality=0.3,
+            rates={"src0": 1.0, "src1": 0.5},
+            default_rate=0.2,
+        )
+
+    def dedup_plan():
+        pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
+        verified = (
+            dedup.ngram_jaccard(pairs, docs, shingle=3)
+            .filter(F.col("jaccard") >= 0.95)
+            .select("doc_a", "doc_b")
+        )
+        return dedup.dedup_keep_first(docs, verified, transitive=True).select(
+            "doc_id"
+        )
+
+    # ---- plan-shape pins re-checked AT SCALE (the tests' 100-TB contracts)
+    mix_str = mix_plan()._jdf.queryExecution().executedPlan().toString()
+    assert mix_str.count("Scan parquet") <= 3, "training_mix scan count"
+    assert "BroadcastHashJoin" in mix_str and "LeftAnti" in mix_str
+    assert "SortMergeJoin" not in mix_str, "training_mix grew a SMJ at scale"
+    plan_notes = {
+        "training_mix": "scans<=3, broadcast LeftAnti, no SortMergeJoin — "
+        "held at this scale",
+        "dedup_pipeline": "staged chain (localCheckpoint per CC round) — "
+        "per-stage plans pinned by tests; counts recorded here",
+    }
+
+    results = {}
+    for name, plan in (("training_mix", mix_plan), ("dedup_pipeline", dedup_plan)):
+        walls, out_rows = [], None
+        for _ in range(args.reps):
+            t0 = time.time()
+            out_rows = plan().count()
+            walls.append(round(time.time() - t0, 2))
+        med = statistics.median(walls)
+        results[name] = {
+            "walls_s": walls,
+            "median_s": med,
+            "docs_per_sec": round(n_docs / med, 1),
+            "output_rows": out_rows,
+        }
+        print(f"{name}: {results[name]}", file=sys.stderr)
+
+    expect_dups = n_docs // 10  # every doc_id % 10 == 9 duplicates its base
+    out = {
+        "bench": "curation_scale",
+        "docs": n_docs,
+        "cpus": args.cpus,
+        "reps": args.reps,
+        "near_dup_rate": 0.1,
+        "expected_kept_max": n_docs - expect_dups,
+        "results": results,
+        "plan_checks": plan_notes,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "curation_scale.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

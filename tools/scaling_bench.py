@@ -92,7 +92,7 @@ N_SHARDS = 256
 FILES_PER_TRIGGER = 8
 
 
-def run_leg(src: str, cpus: int, workdir: str) -> dict:
+def run_leg(src: str, cpus: int, workdir: str, n_shards: int | None = None) -> dict:
     out = os.path.join(workdir, f"out-{cpus}")
     ckpt = os.path.join(workdir, f"ckpt-{cpus}")
     shutil.rmtree(out, ignore_errors=True)
@@ -122,10 +122,12 @@ def run_leg(src: str, cpus: int, workdir: str) -> dict:
             f"local[{cpus}]",
             "--engine",
             ENGINE,
-            # logical shard count FIXED across legs (production streaming
-            # keeps its key space stable while executors scale)
+            # logical shard count FIXED across legs by default (production
+            # streaming keeps its key space stable while executors scale);
+            # the autotune scaling variant overrides it per leg to test
+            # whether a pinned count flatters narrow legs (VERDICT r6 #4)
             "--n-shards",
-            str(N_SHARDS),
+            str(n_shards if n_shards is not None else N_SHARDS),
         ]
         + ([] if ROCKSDB else ["--hdfs-state-store"]),
         capture_output=True,

@@ -16,7 +16,13 @@ deleted immediately — the sharded_ab methodology), then quotes:
 Writes BENCH/scaling_sharded_1_4_interleaved.json.
 
 Usage: python tools/sharded_scaling_reps.py [--rows 4000000]
-       [--convs 20000] [--reps 6] [--n-shards 256]
+       [--convs 20000] [--reps 6] [--n-shards 256 | --n-shards auto]
+
+--n-shards auto (VERDICT r6 #4): each leg uses the production autotune
+(8 x cores -> 8 shards at local[1], 32 at local[4]) instead of 256 pinned
+on both legs, testing the hypothesis that a pinned count fully amortizes
+per-shard invocation overhead at 1 core and flatters the denominator.
+Writes BENCH/scaling_sharded_1_4_interleaved_autotune.json in that mode.
 """
 
 from __future__ import annotations
@@ -43,12 +49,17 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--four-n", type=int, default=4)
-    ap.add_argument("--n-shards", type=int, default=256)
+    ap.add_argument("--n-shards", default="256")
     ap.add_argument("--files", type=int, default=64)
     args = ap.parse_args()
 
     SB.ENGINE = "sharded"
-    SB.N_SHARDS = args.n_shards
+    auto = args.n_shards == "auto"
+    if not auto:
+        SB.N_SHARDS = int(args.n_shards)
+
+    def leg_shards(cpus):
+        return 8 * cpus if auto else int(args.n_shards)
 
     workdir = tempfile.mkdtemp(prefix="scaling-reps-", dir="/dev/shm")
     src = os.path.join(workdir, "src")
@@ -63,7 +74,9 @@ def main() -> int:
         for rep in range(args.reps):
             legs = {}
             for cpus in (args.n, args.four_n):  # strict alternation
-                legs[cpus] = SB.run_leg(src, cpus, workdir)
+                legs[cpus] = SB.run_leg(
+                    src, cpus, workdir, n_shards=leg_shards(cpus)
+                )
                 print(
                     f"rep {rep} local[{cpus}]: {rate(legs[cpus])} turns/s",
                     file=sys.stderr,
@@ -84,9 +97,10 @@ def main() -> int:
     med_n = statistics.median(p["throughput_n"] for p in pairs)
     med_4n = statistics.median(p["throughput_4n"] for p in pairs)
     out = {
-        "bench": "scaling_sharded_1_4_interleaved",
+        "bench": "scaling_sharded_1_4_interleaved"
+        + ("_autotune" if auto else ""),
         "engine": "sharded",
-        "n_shards": args.n_shards,
+        "n_shards": "auto (8 x cores per leg)" if auto else int(args.n_shards),
         "input_rows": n_rows,
         "n_cpus": args.n,
         "four_n_cpus": args.four_n,
@@ -105,9 +119,8 @@ def main() -> int:
             max(p["efficiency"] for p in pairs),
         ],
     }
-    with open(
-        os.path.join(REPO, "BENCH", "scaling_sharded_1_4_interleaved.json"), "w"
-    ) as f:
+    fname = "scaling_sharded_1_4_interleaved%s.json" % ("_autotune" if auto else "")
+    with open(os.path.join(REPO, "BENCH", fname), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
