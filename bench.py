@@ -185,6 +185,9 @@ def main() -> int:
     run("stream_dedup", lambda: E._q_stream_dedup(spark, sf_dir).count())
     run("cep_strict", lambda: E._q_cep_strict(spark, sf_dir).count())
     run("cep_funnel", lambda: E._q_cep_funnel(spark, sf_dir).count())
+    # new in r7 (suite grows by one cheap batch query; the streaming skip
+    # matcher's cost is covered by BENCH/cep.json's interleaved legs)
+    run("cep_times", lambda: E._q_cep_times(spark, sf_dir).count())
 
     # staging is throwaway: leaving it accumulates in /tmp (or worse, tmpfs)
     # across bench runs — the round-2 contamination lesson

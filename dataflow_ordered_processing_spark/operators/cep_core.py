@@ -408,6 +408,297 @@ def frontier_to_lists(fr: dict) -> tuple[list, list, list, int | None]:
     )
 
 
+INF_IDX = np.int64(2**62)  # "no pending guard" sentinel (fits a LongType)
+
+
+def empty_frontier_q(n_quant: int) -> dict:
+    """Quantified-skip frontier: candidate arrays + per-quantified-step
+    open-run tracking (a predicate run still open at the batch boundary —
+    its maximality, hence qualification, is undecidable until a break row
+    or the conversation's completion flush)."""
+    return {
+        "anchor_idx": np.empty(0, np.int64),
+        "anchor_ts_us": np.empty(0, np.int64),
+        "wait": np.empty(0, np.int64),
+        "cpos": np.empty(0, np.int64),
+        "guard_seen": np.empty(0, np.int64),
+        "open_s": np.full(n_quant, -1, np.int64),
+        "open_s_ts": np.full(n_quant, -1, np.int64),
+        "open_e": np.full(n_quant, -1, np.int64),
+        "open_e_ts": np.full(n_quant, -1, np.int64),
+        "next_expected": None,
+    }
+
+
+def _runs_of(mask: np.ndarray):
+    """(starts, ends) positions of maximal True runs in a boolean mask."""
+    if not len(mask):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    m = mask.astype(np.int8)
+    dm = np.diff(m)
+    starts = np.flatnonzero(dm == 1) + 1
+    ends = np.flatnonzero(dm == -1)
+    if m[0]:
+        starts = np.concatenate([[0], starts])
+    if m[-1]:
+        ends = np.concatenate([ends, [len(mask) - 1]])
+    return starts.astype(np.int64), ends.astype(np.int64)
+
+
+def match_skip_quant(
+    steps: tuple,
+    run: dict,
+    frontier: dict | None = None,
+    within_us: int | None = None,
+    within_turns: int | None = None,
+    guards: dict | None = None,
+    final: bool = False,
+) -> tuple[dict, dict]:
+    """Incremental skip-till-next with QUANTIFIED steps — the streaming
+    counterpart of ``plans.cep._match_skip_quant`` (same maximal-run
+    semantics; parity-tested against it and a brute-force oracle).
+
+    ``steps``: tuple of Step / Times (Times.step must be a Step — the
+    numpy matcher needs its structural mask). State beyond the plain-skip
+    frontier: per candidate, the last consumed position ``cpos`` (an open
+    run may have started after one candidate's cpos and before another's,
+    so the plain matcher's "hop from before the batch" trick does not
+    survive quantifiers) and ``guard_seen`` (the earliest pending guard row
+    after cpos for the awaited segment — guard kills must be DEFERRED to
+    hop time because an open run that eventually qualifies with
+    start < guard absolves the candidate); per quantified step, the open
+    run's start/end idx+ts.
+
+    A quantified step's run resolves (qualifies or not) when CLOSED — a
+    non-matching row follows, or ``final=True`` (the conversation
+    completed, so the engine flushes: a run touching the final row is
+    maximal by definition). Matches whose last step is quantified emit in
+    the batch where that run closes — still exactly once.
+
+    Candidate advancement is a small per-candidate Python loop (bounded by
+    anchors per key per batch — conversation-scale, unlike the row-scale
+    work which stays vectorized in the run/mask tables).
+    """
+    k = len(steps)
+    norm = []
+    for s in steps:
+        if isinstance(s, Times):
+            if not isinstance(s.step, Step):
+                raise ValueError(
+                    "streaming quantified steps need structural Step "
+                    "predicates (Times over a raw (name, sql) pair is "
+                    "batch-only)"
+                )
+            norm.append(
+                {"mask": s.step.mask, "quant": True, "n_min": s.n_min,
+                 "n_max": s.n_max}
+            )
+        else:
+            norm.append({"mask": s.mask, "quant": False, "n_min": 1, "n_max": 1})
+    steps = norm
+    quant_ids = [i for i, s in enumerate(steps) if s["quant"]]
+    qof = {i: j for j, i in enumerate(quant_ids)}
+    fr = frontier if frontier is not None else empty_frontier_q(len(quant_ids))
+    idx = np.asarray(run["turn_idx"], np.int64)
+    ts = np.asarray(run["ts_us"], np.int64)
+    n = len(idx)
+    empty = {c: np.empty(0, np.int64) for c in
+             ("start_idx", "end_idx", "ts_first_us", "ts_last_us")}
+
+    c_aidx = np.asarray(fr["anchor_idx"], np.int64)
+    c_ats = np.asarray(fr["anchor_ts_us"], np.int64)
+    c_wait = np.asarray(fr["wait"], np.int64)
+    c_cpos = np.asarray(fr["cpos"], np.int64)
+    c_gseen = np.asarray(fr["guard_seen"], np.int64)
+    open_s = np.asarray(fr["open_s"], np.int64).copy()
+    open_s_ts = np.asarray(fr["open_s_ts"], np.int64).copy()
+    open_e = np.asarray(fr["open_e"], np.int64).copy()
+    open_e_ts = np.asarray(fr["open_e_ts"], np.int64).copy()
+
+    if n and fr.get("next_expected") is not None and idx[0] != fr["next_expected"]:
+        # gap = state re-creation after eviction: carried candidates and
+        # open runs reference turns this incarnation never saw
+        c_aidx = c_aidx[:0]; c_ats = c_ats[:0]; c_wait = c_wait[:0]
+        c_cpos = c_cpos[:0]; c_gseen = c_gseen[:0]
+        open_s[:] = -1; open_s_ts[:] = -1; open_e[:] = -1; open_e_ts[:] = -1
+
+    if n == 0 and not final:
+        return empty, fr
+
+    # ---- per-step hop tables over (carried open runs + this batch)
+    plain_hits = {}
+    q_runs = {}
+    for i, st in enumerate(steps):
+        m = st["mask"](run).astype(bool) if n else np.zeros(0, bool)
+        if not st["quant"]:
+            if i > 0:
+                plain_hits[i] = idx[m]
+            continue
+        j = qof[i]
+        starts_p, ends_p = _runs_of(m)
+        rs, rsts, re_, rets = [], [], [], []
+        carried = open_s[j] >= 0
+        merged_first = bool(carried and n and m[0])
+        if carried and not merged_first:
+            # carried run closed at the previous batch boundary (or this is
+            # an empty final flush) — its stored end row is the run end
+            rs.append(int(open_s[j])); rsts.append(int(open_s_ts[j]))
+            re_.append(int(open_e[j])); rets.append(int(open_e_ts[j]))
+        carried_s = int(open_s[j]) if carried else -1
+        carried_s_ts = int(open_s_ts[j]) if carried else -1
+        open_s[j] = -1; open_s_ts[j] = -1; open_e[j] = -1; open_e_ts[j] = -1
+        for p0, p1 in zip(starts_p, ends_p):
+            if p0 == 0 and merged_first:
+                s_i, s_t = carried_s, carried_s_ts
+            else:
+                s_i, s_t = int(idx[p0]), int(ts[p0])
+            if p1 == n - 1 and not final:
+                # run touches the batch end: maximality unknown — carry it
+                open_s[j], open_s_ts[j] = s_i, s_t
+                open_e[j], open_e_ts[j] = int(idx[p1]), int(ts[p1])
+            else:
+                rs.append(s_i); rsts.append(s_t)
+                re_.append(int(idx[p1])); rets.append(int(ts[p1]))
+        arr = {
+            "s": np.asarray(rs, np.int64), "s_ts": np.asarray(rsts, np.int64),
+            "e": np.asarray(re_, np.int64), "e_ts": np.asarray(rets, np.int64),
+        }
+        ln = arr["e"] - arr["s"] + 1
+        ok = ln >= st["n_min"]
+        if st["n_max"] is not None:
+            ok &= ln <= st["n_max"]
+        q_runs[i] = {c: v[ok] for c, v in arr.items()}
+
+    guard_hits = {}
+    for seg, g in (guards or {}).items():
+        gm = g.mask(run).astype(bool) if n else np.zeros(0, bool)
+        guard_hits[int(seg)] = idx[gm]
+
+    # ---- new anchors (a qualifying CLOSED run for a quantified step 0;
+    # an open anchor run materializes as a candidate when it closes)
+    if steps[0]["quant"]:
+        qa = q_runs[0]
+        n_aidx, n_ats, n_cpos = qa["s"], qa["s_ts"], qa["e"]
+    else:
+        m0 = steps[0]["mask"](run).astype(bool) if n else np.zeros(0, bool)
+        n_aidx = idx[m0]; n_ats = ts[m0]; n_cpos = n_aidx
+    c_aidx = np.concatenate([c_aidx, n_aidx])
+    c_ats = np.concatenate([c_ats, n_ats])
+    c_wait = np.concatenate([c_wait, np.ones(len(n_aidx), np.int64)])
+    c_cpos = np.concatenate([c_cpos, n_cpos])
+    c_gseen = np.concatenate([c_gseen, np.full(len(n_aidx), INF_IDX, np.int64)])
+
+    def fold_guards():
+        # earliest guard row AFTER each candidate's cpos in this batch,
+        # folded into the persisted minimum (kills resolve at hop time)
+        for a in range(len(c_aidx)):
+            seg = int(c_wait[a]) - 1
+            if seg in guard_hits and len(guard_hits[seg]):
+                gh = guard_hits[seg]
+                p = np.searchsorted(gh, c_cpos[a], side="right")
+                if p < len(gh) and gh[p] < c_gseen[a]:
+                    c_gseen[a] = gh[p]
+
+    matches = {c: [] for c in ("start_idx", "end_idx", "ts_first_us", "ts_last_us")}
+    done = np.zeros(len(c_aidx), bool)
+    alive = np.ones(len(c_aidx), bool)
+    for _ in range(k):
+        fold_guards()
+        progressed = False
+        for a in np.flatnonzero(alive & ~done):
+            i = int(c_wait[a])
+            st = steps[i]
+            if st["quant"]:
+                qr = q_runs[i]
+                p = np.searchsorted(qr["s"], c_cpos[a], side="right")
+                if p >= len(qr["s"]):
+                    continue  # stall (an open run may resolve next batch)
+                hop_s, hop_e = qr["s"][p], qr["e"][p]
+                hop_e_ts = qr["e_ts"][p]
+            else:
+                ph = plain_hits[i]
+                p = np.searchsorted(ph, c_cpos[a], side="right")
+                if p >= len(ph):
+                    continue
+                hop_s = hop_e = ph[p]
+                hop_e_ts = ts[np.searchsorted(idx, hop_s)]
+            if c_gseen[a] < hop_s:
+                alive[a] = False  # a guard row landed in the gap segment
+                continue
+            c_cpos[a] = hop_e
+            c_wait[a] = i + 1
+            c_gseen[a] = INF_IDX
+            progressed = True
+            if c_wait[a] == k:
+                done[a] = True
+                if (within_us is None or hop_e_ts - c_ats[a] <= within_us) and (
+                    within_turns is None or hop_e - c_aidx[a] <= within_turns
+                ):
+                    matches["start_idx"].append(int(c_aidx[a]))
+                    matches["end_idx"].append(int(hop_e))
+                    matches["ts_first_us"].append(int(c_ats[a]))
+                    matches["ts_last_us"].append(int(hop_e_ts))
+        if not progressed:
+            break
+
+    still = alive & ~done
+    if len(c_aidx) and n:
+        # <= (not <): a carried open run's end can BE idx[-1], so a future
+        # completion at exactly this distance is still possible
+        if within_turns is not None:
+            still &= idx[-1] - c_aidx <= within_turns
+        if within_us is not None:
+            still &= ts[-1] - c_ats <= within_us
+    if final:
+        still &= False  # completed conversation: nothing can complete later
+    new_fr = {
+        "anchor_idx": c_aidx[still],
+        "anchor_ts_us": c_ats[still],
+        "wait": c_wait[still],
+        "cpos": c_cpos[still],
+        "guard_seen": c_gseen[still],
+        "open_s": open_s, "open_s_ts": open_s_ts,
+        "open_e": open_e, "open_e_ts": open_e_ts,
+        "next_expected": (int(idx[-1]) + 1) if n else fr.get("next_expected"),
+    }
+    out = {c: np.asarray(v, np.int64) for c, v in matches.items()}
+    order = np.lexsort((out["end_idx"], out["start_idx"]))
+    return {c: v[order] for c, v in out.items()}, new_fr
+
+
+def frontier_q_from_lists(
+    anchor_idx, anchor_ts_us, wait, cpos, guard_seen,
+    open_s, open_s_ts, open_e, open_e_ts, next_expected,
+) -> dict:
+    return {
+        "anchor_idx": np.asarray(list(anchor_idx or []), dtype="int64"),
+        "anchor_ts_us": np.asarray(list(anchor_ts_us or []), dtype="int64"),
+        "wait": np.asarray(list(wait or []), dtype="int64"),
+        "cpos": np.asarray(list(cpos or []), dtype="int64"),
+        "guard_seen": np.asarray(list(guard_seen or []), dtype="int64"),
+        "open_s": np.asarray(list(open_s or []), dtype="int64"),
+        "open_s_ts": np.asarray(list(open_s_ts or []), dtype="int64"),
+        "open_e": np.asarray(list(open_e or []), dtype="int64"),
+        "open_e_ts": np.asarray(list(open_e_ts or []), dtype="int64"),
+        "next_expected": None if next_expected is None else int(next_expected),
+    }
+
+
+def frontier_q_to_lists(fr: dict) -> tuple:
+    return (
+        [int(x) for x in fr["anchor_idx"]],
+        [int(x) for x in fr["anchor_ts_us"]],
+        [int(x) for x in fr["wait"]],
+        [int(x) for x in fr["cpos"]],
+        [int(x) for x in fr["guard_seen"]],
+        [int(x) for x in fr["open_s"]],
+        [int(x) for x in fr["open_s_ts"]],
+        [int(x) for x in fr["open_e"]],
+        [int(x) for x in fr["open_e_ts"]],
+        None if fr["next_expected"] is None else int(fr["next_expected"]),
+    )
+
+
 def carry_from_lists(idx, role, tool, ts_us) -> dict:
     """Rebuild a carry dict from four (possibly-None) sequences — the ONE
     deserializer shared by every engine's state layer."""
@@ -446,9 +737,12 @@ class StreamMatcher:
     engine owns WHERE the state lives (tuple fields, shard map entry,
     ValueState); this object owns WHAT it means.
 
-    State shapes (both serialize to exactly 4 state-schema fields):
-      - strict → the (k-1)-turn carry (4 parallel lists)
-      - skip   → the partial-match frontier (3 int lists + next_expected)
+    State shapes (each serializes to a fixed field count, n_state_fields):
+      - strict          → the (k-1)-turn carry (4 parallel lists)
+      - skip            → the partial-match frontier (3 int lists +
+                          next_expected; 4 fields)
+      - skip+quantified → the extended frontier (candidate cpos/guard_seen
+                          + per-quant-step open runs; 10 fields)
     """
 
     steps: tuple
@@ -456,9 +750,26 @@ class StreamMatcher:
     within_us: int | None
     within_turns: int | None
     guards: dict  # {segment_i: Step}, skip mode only
+    quant: bool = False  # any Times step (skip mode only)
 
-    def match(self, run: dict, state: dict | None) -> tuple[dict, dict]:
+    @property
+    def n_state_fields(self) -> int:
+        return 10 if self.quant else 4
+
+    def match(
+        self, run: dict, state: dict | None, final: bool = False
+    ) -> tuple[dict, dict]:
         if self.mode == "skip":
+            if self.quant:
+                return match_skip_quant(
+                    self.steps,
+                    run,
+                    state,
+                    self.within_us,
+                    self.within_turns,
+                    self.guards,
+                    final,
+                )
             return match_skip(
                 self.steps,
                 run,
@@ -470,19 +781,27 @@ class StreamMatcher:
         return match_strict(self.steps, run, state, self.within_us)
 
     def empty_state(self) -> dict:
-        return empty_frontier() if self.mode == "skip" else empty_carry()
+        if self.mode == "skip":
+            if self.quant:
+                return empty_frontier_q(
+                    sum(1 for s in self.steps if isinstance(s, Times))
+                )
+            return empty_frontier()
+        return empty_carry()
 
     def state_to_lists(self, st: dict) -> tuple:
-        return (
-            frontier_to_lists(st) if self.mode == "skip" else carry_to_lists(st)
-        )
+        if self.mode == "skip":
+            return frontier_q_to_lists(st) if self.quant else frontier_to_lists(st)
+        return carry_to_lists(st)
 
-    def state_from_lists(self, a, b, c, d) -> dict:
-        return (
-            frontier_from_lists(a, b, c, d)
-            if self.mode == "skip"
-            else carry_from_lists(a, b, c, d)
-        )
+    def state_from_lists(self, *fields) -> dict:
+        if self.mode == "skip":
+            return (
+                frontier_q_from_lists(*fields)
+                if self.quant
+                else frontier_from_lists(*fields)
+            )
+        return carry_from_lists(*fields)
 
 
 def stream_matcher(
@@ -500,13 +819,39 @@ def stream_matcher(
     k = len(steps)
     if k < 2:
         raise ValueError("a pattern needs at least 2 steps")
-    if any(isinstance(s, Times) for s in steps):
-        raise ValueError(
-            "quantified steps (Times) are batch-only — use "
-            "plans.cep.match_pattern over the ordered table"
-        )
     if mode not in ("strict", "skip"):
         raise ValueError(f"unknown pattern mode {mode!r} (strict | skip)")
+    quant = any(isinstance(s, Times) for s in steps)
+    if quant:
+        for s in steps:
+            if isinstance(s, Times) and not isinstance(s.step, Step):
+                raise ValueError(
+                    "streaming quantified steps need structural Step "
+                    "predicates — Times over a raw (name, sql) pair is "
+                    "batch-only (plans.cep.match_pattern)"
+                )
+        if mode == "strict":
+            # exact counts have a finite strict expansion (same rule as
+            # the batch plan); open-ended ones do not
+            expanded = []
+            for s in steps:
+                if not isinstance(s, Times):
+                    expanded.append(s)
+                    continue
+                if s.n_max != s.n_min:
+                    raise ValueError(
+                        "strict mode requires an exact count — "
+                        f"times({s.n_min}, {s.n_max}) on step {s.name!r} "
+                        "has no finite strict expansion; use skip mode"
+                    )
+                for j in range(s.n_min):
+                    expanded.append(
+                        Step(f"{s.name}_{j + 1}", role=s.step.role,
+                             tool=s.step.tool)
+                    )
+            steps = tuple(expanded)
+            k = len(steps)
+            quant = False
     if mode == "strict":
         if within_turns is not None:
             raise ValueError(
@@ -537,4 +882,5 @@ def stream_matcher(
         within_us=None if within_s is None else int(within_s) * 1_000_000,
         within_turns=None if within_turns is None else int(within_turns),
         guards=guards,
+        quant=quant,
     )

@@ -141,6 +141,28 @@ STATE_SCHEMA_CEP_SKIP = T.StructType(
     ]
 )
 
+# STATE_SCHEMA + the QUANTIFIED skip frontier (r7): candidate arrays gain
+# cpos (last consumed turn — hop targets must start strictly after it) and
+# guard_seen (earliest pending guard row; kills defer to hop time), plus
+# per-quantified-step open-run tracking (start/end idx+ts of a predicate
+# run still open at the batch boundary). Distinct from STATE_SCHEMA_CEP_SKIP
+# so a checkpoint written under a plain pattern refuses a quantified one.
+STATE_SCHEMA_CEP_SKIP_Q = T.StructType(
+    list(STATE_SCHEMA.fields)
+    + [
+        T.StructField("cep_anchor_idx", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_anchor_ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_wait", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_cpos", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_guard_seen", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_open_s", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_open_s_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_open_e", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_open_e_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("cep_next_expected", T.LongType(), True),
+    ]
+)
+
 SINK_SCHEMA = T.StructType(
     list(ORDERED_OUTPUT_SCHEMA.fields)
     + [T.StructField("ingest_ts", T.TimestampType(), True)]

@@ -248,7 +248,11 @@ def make_sharded_func(cfg: OrderedStreamConfig):
                 data_parts.append(emitted)
                 if has_cep:
                     run = {c: emitted[c] for c in cep_core.CEP_COLS}
-                    matches, cstate = matcher.match(run, cep_map.get(conv_id))
+                    # final=complete: the completion flush closes quantified
+                    # open runs (a run touching the final turn is maximal)
+                    matches, cstate = matcher.match(
+                        run, cep_map.get(conv_id), final=st.complete
+                    )
                     cep_map[conv_id] = cstate
                     m = len(matches["start_idx"])
                     if m:

@@ -44,6 +44,7 @@ from ..schemas import (
     STATE_SCHEMA,
     STATE_SCHEMA_CEP,
     STATE_SCHEMA_CEP_SKIP,
+    STATE_SCHEMA_CEP_SKIP_Q,
     STREAM_OUTPUT_SCHEMA,
     STREAM_OUTPUT_SCHEMA_CEP,
 )
@@ -291,23 +292,24 @@ def make_ordered_func(cfg: OrderedStreamConfig):
     has_cep = matcher is not None
 
     def _carry_from_tuple(t: tuple) -> dict:
-        # positions 15-18 (after idle_heartbeats); absent/None → empty state
-        # (for skip mode, field 15 is anchor_idx — same None-able sentinel)
+        # CEP state fields start at position 15 (after idle_heartbeats) and
+        # span matcher.n_state_fields (4 for strict carry / plain frontier,
+        # 10 for the quantified frontier); absent/None → empty state
         if len(t) <= 15 or t[15] is None:
             return matcher.empty_state()
-        return matcher.state_from_lists(t[15], t[16], t[17], t[18])
+        return matcher.state_from_lists(*t[15:15 + matcher.n_state_fields])
 
     def _carry_fields(cstate: dict) -> tuple:
         return tuple(matcher.state_to_lists(cstate))
 
-    def _cep_run(emitted: pd.DataFrame, cstate: dict):
+    def _cep_run(emitted: pd.DataFrame, cstate: dict, final: bool = False):
         run = {
             "turn_idx": emitted["turn_idx"].to_numpy(dtype="int64", copy=False),
             "role": emitted["role"].to_numpy(copy=False),
             "tool": emitted["tool"].to_numpy(copy=False),
             "ts_us": emitted["ts_us"].to_numpy(dtype="int64", copy=False),
         }
-        return matcher.match(run, cstate)
+        return matcher.match(run, cstate, final=final)
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         return _pad_cep(df) if has_cep else df
@@ -329,7 +331,7 @@ def make_ordered_func(cfg: OrderedStreamConfig):
             )
             matches = None
             if has_cep and len(emitted):
-                matches, carry = _cep_run(emitted, carry)
+                matches, carry = _cep_run(emitted, carry, final=st.complete)
             # A COMPLETED key (final seen, buffer drained) is a tombstone:
             # its counters are frozen, so a heartbeat status would only
             # repeat the completion snapshot already emitted on the final
@@ -390,7 +392,7 @@ def make_ordered_func(cfg: OrderedStreamConfig):
         st.idle_heartbeats = 0  # arrival resets the idle-eviction clock
         matches = None
         if has_cep and len(emitted):
-            matches, carry = _cep_run(emitted, carry)
+            matches, carry = _cep_run(emitted, carry, final=st.complete)
 
         status = None
         if cfg.emit_status_every_batch:
@@ -430,12 +432,15 @@ def ordered_stream(df: DataFrame, cfg: OrderedStreamConfig | None = None) -> Dat
     timeout = "ProcessingTimeTimeout" if cfg.status_heartbeat_ms else "NoTimeout"
     has_cep = cfg.pattern is not None
     if has_cep:
-        # per-mode state schema: the carry (strict) and the frontier (skip)
-        # have different field types, so a checkpoint written under one mode
-        # refuses the other via the state-store schema-compat check
-        state_schema = (
-            STATE_SCHEMA_CEP_SKIP if cfg.pattern_mode == "skip" else STATE_SCHEMA_CEP
-        )
+        # per-mode state schema: the carry (strict), the frontier (skip),
+        # and the quantified frontier have different field sets, so a
+        # checkpoint written under one refuses the others via the
+        # state-store schema-compat check
+        m = cfg_matcher(cfg)
+        if m.mode == "skip":
+            state_schema = STATE_SCHEMA_CEP_SKIP_Q if m.quant else STATE_SCHEMA_CEP_SKIP
+        else:
+            state_schema = STATE_SCHEMA_CEP
     else:
         state_schema = STATE_SCHEMA
     return df.groupBy("conv_id").applyInPandasWithState(

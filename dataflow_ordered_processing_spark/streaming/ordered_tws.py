@@ -72,6 +72,14 @@ CEP_FRONTIER_SCHEMA = (
     "anchor_idx array<long>, anchor_ts_us array<long>, wait array<long>, "
     "next_expected long"
 )
+# quantified-skip frontier (r7): candidate cpos/guard_seen + per-quant-step
+# open-run tracking — again its own name+schema so mode flips refuse
+CEP_FRONTIER_Q_SCHEMA = (
+    "anchor_idx array<long>, anchor_ts_us array<long>, wait array<long>, "
+    "cpos array<long>, guard_seen array<long>, open_s array<long>, "
+    "open_s_ts array<long>, open_e array<long>, open_e_ts array<long>, "
+    "next_expected long"
+)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -182,11 +190,20 @@ class OrderedProcessor(StatefulProcessor):
         if self.matcher is not None:
             # per-mode name AND schema: flipping pattern_mode on an existing
             # checkpoint is a state-store error, not a silent mis-decode
-            self.cep_state = (
-                handle.getValueState("cep_frontier", CEP_FRONTIER_SCHEMA, ttl)
-                if self.matcher.mode == "skip"
-                else handle.getValueState("cep_carry", CEP_CARRY_SCHEMA, ttl)
-            )
+            if self.matcher.mode == "skip":
+                self.cep_state = (
+                    handle.getValueState(
+                        "cep_frontier_q", CEP_FRONTIER_Q_SCHEMA, ttl
+                    )
+                    if self.matcher.quant
+                    else handle.getValueState(
+                        "cep_frontier", CEP_FRONTIER_SCHEMA, ttl
+                    )
+                )
+            else:
+                self.cep_state = handle.getValueState(
+                    "cep_carry", CEP_CARRY_SCHEMA, ttl
+                )
 
     def close(self) -> None:
         pass
@@ -351,13 +368,16 @@ class OrderedProcessor(StatefulProcessor):
                 prior = (
                     tuple(self.cep_state.get()) if self.cep_state.exists() else None
                 )
+                nf = self.matcher.n_state_fields
                 state_in = (
-                    self.matcher.state_from_lists(*prior[:4])
+                    self.matcher.state_from_lists(*prior[:nf])
                     if prior is not None
                     else None
                 )
                 matches, cstate = self.matcher.match(
-                    {c: emitted_cols[c] for c in cep_core.CEP_COLS}, state_in
+                    {c: emitted_cols[c] for c in cep_core.CEP_COLS},
+                    state_in,
+                    final=bool(last_event and buf_count == 0),
                 )
                 if last_event and buf_count == 0:
                     # completion: drop the CEP state like the other engines —

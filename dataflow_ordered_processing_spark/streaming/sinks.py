@@ -1074,8 +1074,19 @@ def _pattern_spec(
     different pattern algebra."""
     if pattern is None:
         return None
+
+    def _step_entry(s):
+        # plain Step → 3-element entry (back-compat with pre-r7 markers);
+        # quantified Times → 5 elements incl. the count bounds (a
+        # quantified pattern must not resume its plain twin's checkpoint)
+        from ..operators.cep_core import Times
+
+        if isinstance(s, Times):
+            return [s.name, s.step.role, s.step.tool, s.n_min, s.n_max]
+        return [s.name, s.role, s.tool]
+
     return {
-        "steps": [[s.name, s.role, s.tool] for s in pattern],
+        "steps": [_step_entry(s) for s in pattern],
         "within_s": within_s,
         "mode": mode,
         "within_turns": within_turns,

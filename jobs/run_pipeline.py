@@ -231,8 +231,11 @@ def _check_hot_marker(
 
 def parse_pattern(spec: str):
     """'u=user,a=assistant,c=tool/code' → tuple of cep_core.Step. Each step
-    is name=role, name=role/tool, or name=/tool (tool-only predicate)."""
-    from dataflow_ordered_processing_spark.operators.cep_core import Step
+    is name=role, name=role/tool, or name=/tool (tool-only predicate).
+    Quantifiers (skip mode): append '*N' (exactly N consecutive), '*N+'
+    (at least N), or '*N-M' (N to M) — e.g. 't=tool*3+,u=user' = a maximal
+    run of >=3 consecutive tool turns then a user turn."""
+    from dataflow_ordered_processing_spark.operators.cep_core import Step, Times
 
     steps = []
     for part in spec.split(","):
@@ -240,9 +243,21 @@ def parse_pattern(spec: str):
         if not part or "=" not in part:
             raise ValueError(f"bad pattern step {part!r} (want name=role[/tool])")
         name, pred = part.split("=", 1)
+        pred, _, quant = pred.partition("*")
         role, _, tool = pred.partition("/")
-        steps.append(Step(name.strip(), role=role.strip() or None,
-                          tool=tool.strip() or None))
+        step = Step(name.strip(), role=role.strip() or None,
+                    tool=tool.strip() or None)
+        if quant:
+            quant = quant.strip()
+            if quant.endswith("+"):
+                n_min, n_max = int(quant[:-1]), None
+            elif "-" in quant:
+                lo, hi = quant.split("-", 1)
+                n_min, n_max = int(lo), int(hi)
+            else:
+                n_min = n_max = int(quant)
+            step = Times(step, n_min, n_max)
+        steps.append(step)
     if len(steps) < 2:
         # validate BEFORE the checkpoint marker is written: a 1-step
         # pattern would otherwise be pinned, fail inside the executors,

@@ -242,8 +242,14 @@ def test_times_validation():
         Times(USER, 3, 2)
     with pytest.raises(ValueError, match="Step or a"):
         Times("flag", 2)
-    with pytest.raises(ValueError, match="batch-only"):
-        stream_matcher((Times(USER, 2), Step("a", role="assistant")), "skip")
+    # streaming Times is supported for structural Steps (r7 late addition);
+    # the raw (name, sql) tuple form stays batch-only (no mask to evaluate)
+    m = stream_matcher((Times(USER, 2), Step("a", role="assistant")), "skip")
+    assert m.quant
+    with pytest.raises(ValueError, match="structural Step"):
+        stream_matcher(
+            (Times(("h", "flag"), 2), Step("a", role="assistant")), "skip"
+        )
 
 
 def test_strict_open_ended_times_raises(spark):

@@ -33,10 +33,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# includes the lang_id marker stopwords (the/and/of) at ~2× weight and a
+# punctuated token so the generated docs actually PASS the curation gates
+# (lang_pred='en' needs marker hits; quality needs punctuation + stopwords)
 VOCAB = (
     "spark batch part line column order small sort fast value scan hash "
     "slow group agg filter query big key window row table stream merge "
-    "data shuffle join scale state buffer epoch"
+    "data shuffle join scale state buffer epoch. "
+    "the and of the and of"
 ).split()
 LANGS = ["en", "en", "en", "en", "en", "en", "zh", "de", "fr", "ja"]
 
