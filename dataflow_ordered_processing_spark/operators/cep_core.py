@@ -45,49 +45,78 @@ CEP_COLS = ("turn_idx", "role", "tool", "ts_us")
 class Step:
     """One pattern step: a structural predicate over a turn.
 
-    Structural (field-equality) form so the SAME step drives both the numpy
-    matcher (streaming engine) and a SQL predicate (batch operator + DuckDB
-    oracle). ``tool`` may be a string (equality) — a step with ``tool`` set
-    implies nothing about role unless ``role`` is also set.
+    Structural form so the SAME step drives both the numpy matcher
+    (streaming engine) and a SQL predicate (batch operator + DuckDB
+    oracle). ``role`` / ``tool`` may each be a string (equality) or a
+    tuple/list of strings (IN-set — Flink ``where(a or b)``; e.g.
+    ``Step("x", role=("assistant", "tool"))`` = any non-user turn, the
+    natural alphabet for quantified runs). A step with only ``tool`` set
+    implies nothing about role.
     """
 
     name: str
-    role: str | None = None
-    tool: str | None = None
+    role: object = None  # str | tuple[str, ...] | None
+    tool: object = None
 
     def __post_init__(self):
         if self.role is None and self.tool is None:
             raise ValueError(f"step {self.name!r} matches every row — "
                              "set role and/or tool")
+        # normalize lists to tuples (hashable, marker-stable ordering is
+        # the caller's — sets are rejected as unordered)
+        for attr in ("role", "tool"):
+            v = getattr(self, attr)
+            if isinstance(v, list):
+                object.__setattr__(self, attr, tuple(v))
+            elif isinstance(v, set):
+                raise ValueError(
+                    f"step {self.name!r}: {attr} must be a string or an "
+                    "ordered sequence (tuple/list), not a set — predicate "
+                    "rendering must be deterministic"
+                )
         # role/tool are identifier-class values; rejecting everything else
         # closes the SQL-literal injection surface COMPLETELY (review r6c/d:
         # quote-doubling alone left backslash escapes, and Spark and DuckDB
         # disagree on backslash semantics, so escaping can't be both safe
         # and cross-engine-identical — validation can)
-        for field in (self.role, self.tool):
-            if field is not None and not _IDENT.fullmatch(field):
-                raise ValueError(
-                    f"step {self.name!r}: value {field!r} is not a plain "
-                    "identifier ([A-Za-z0-9_.-]+) — predicates are rendered "
-                    "as SQL literals for the batch operator and oracles"
-                )
+        for v in (self.role, self.tool):
+            vals = v if isinstance(v, tuple) else (v,)
+            for field in vals:
+                if field is None:
+                    continue
+                if not isinstance(field, str) or not _IDENT.fullmatch(field):
+                    raise ValueError(
+                        f"step {self.name!r}: value {field!r} is not a plain "
+                        "identifier ([A-Za-z0-9_.-]+) — predicates are "
+                        "rendered as SQL literals for the batch operator "
+                        "and oracles"
+                    )
+            if isinstance(v, tuple) and len(v) == 0:
+                raise ValueError(f"step {self.name!r}: empty value set")
+
+    @staticmethod
+    def _pred_sql(col: str, v) -> str:
+        if isinstance(v, tuple):
+            return f"{col} IN ({', '.join(repr(x) for x in v)})"
+        return f"{col} = '{v}'"
 
     @property
     def sql(self) -> str:
         parts = []
         if self.role is not None:
-            parts.append(f"role = '{self.role}'")
+            parts.append(self._pred_sql("role", self.role))
         if self.tool is not None:
-            parts.append(f"tool = '{self.tool}'")
+            parts.append(self._pred_sql("tool", self.tool))
         return " AND ".join(parts)
 
     def mask(self, cols: dict) -> np.ndarray:
         n = len(cols["turn_idx"])
         m = np.ones(n, dtype=bool)
-        if self.role is not None:
-            m &= np.asarray(cols["role"], dtype=object) == self.role
-        if self.tool is not None:
-            m &= np.asarray(cols["tool"], dtype=object) == self.tool
+        for col, v in (("role", self.role), ("tool", self.tool)):
+            if v is None:
+                continue
+            arr = np.asarray(cols[col], dtype=object)
+            m &= np.isin(arr, v) if isinstance(v, tuple) else arr == v
         return m
 
 

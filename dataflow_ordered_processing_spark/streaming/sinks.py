@@ -1075,6 +1075,12 @@ def _pattern_spec(
     if pattern is None:
         return None
 
+    def _val(v):
+        # IN-set predicates are tuples in the Step; the marker is JSON, so
+        # normalize to lists or the reloaded marker would never compare
+        # equal to the live spec
+        return list(v) if isinstance(v, tuple) else v
+
     def _step_entry(s):
         # plain Step → 3-element entry (back-compat with pre-r7 markers);
         # quantified Times → 5 elements incl. the count bounds (a
@@ -1082,8 +1088,8 @@ def _pattern_spec(
         from ..operators.cep_core import Times
 
         if isinstance(s, Times):
-            return [s.name, s.step.role, s.step.tool, s.n_min, s.n_max]
-        return [s.name, s.role, s.tool]
+            return [s.name, _val(s.step.role), _val(s.step.tool), s.n_min, s.n_max]
+        return [s.name, _val(s.role), _val(s.tool)]
 
     return {
         "steps": [_step_entry(s) for s in pattern],
@@ -1091,7 +1097,7 @@ def _pattern_spec(
         "mode": mode,
         "within_turns": within_turns,
         "not_between": (
-            {str(i): [g.name, g.role, g.tool] for i, g in sorted(not_between.items())}
+            {str(i): [g.name, _val(g.role), _val(g.tool)] for i, g in sorted(not_between.items())}
             if not_between
             else None
         ),

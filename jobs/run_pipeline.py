@@ -229,6 +229,16 @@ def _check_hot_marker(
         _json.dump(current, f)
 
 
+def _pred_val(v: str):
+    """'user' → equality; 'user|assistant' → IN-set tuple; '' → None."""
+    v = v.strip()
+    if not v:
+        return None
+    if "|" in v:
+        return tuple(x.strip() for x in v.split("|") if x.strip())
+    return v
+
+
 def parse_pattern(spec: str):
     """'u=user,a=assistant,c=tool/code' → tuple of cep_core.Step. Each step
     is name=role, name=role/tool, or name=/tool (tool-only predicate).
@@ -245,8 +255,7 @@ def parse_pattern(spec: str):
         name, pred = part.split("=", 1)
         pred, _, quant = pred.partition("*")
         role, _, tool = pred.partition("/")
-        step = Step(name.strip(), role=role.strip() or None,
-                    tool=tool.strip() or None)
+        step = Step(name.strip(), role=_pred_val(role), tool=_pred_val(tool))
         if quant:
             quant = quant.strip()
             if quant.endswith("+"):
@@ -281,9 +290,7 @@ def parse_not_between(spec: str) -> dict:
             )
         name, pred = step_spec.split("=", 1)
         role, _, tool = pred.partition("/")
-        out[int(seg)] = Step(
-            name.strip(), role=role.strip() or None, tool=tool.strip() or None
-        )
+        out[int(seg)] = Step(name.strip(), role=_pred_val(role), tool=_pred_val(tool))
     return out
 
 

@@ -424,3 +424,85 @@ def test_quant_tws_body_parity(spark):
     ) if matches else []
     assert got == _batch_expected(spark, full)
     assert all(not p.cep_state.exists() for p in procs.values())
+
+
+def test_in_set_step_sql_mask_and_validation():
+    s = Step("x", role=("assistant", "tool"))
+    assert s.sql == "role IN ('assistant', 'tool')"
+    run = {
+        "turn_idx": np.arange(1, 5, dtype=np.int64),
+        "role": np.array(["user", "tool", "assistant", "system"], object),
+        "tool": np.array([None, "search", None, None], object),
+        "ts_us": np.arange(1, 5, dtype=np.int64) * 1_000_000,
+    }
+    assert s.mask(run).tolist() == [False, True, True, False]
+    # lists normalize to tuples; sets (unordered) are rejected; each value
+    # stays identifier-validated
+    assert Step("y", role=["user", "tool"]).role == ("user", "tool")
+    with pytest.raises(ValueError, match="set"):
+        Step("z", role={"user", "tool"})
+    with pytest.raises(ValueError, match="identifier"):
+        Step("z", role=("user", "o'brien"))
+    with pytest.raises(ValueError, match="empty"):
+        Step("z", role=())
+
+
+def test_in_set_quantified_run_stream_equals_batch(spark, tmp_path):
+    """'2+ consecutive NON-USER turns then a user turn' — the IN-set
+    alphabet quantifiers naturally want; streaming == batch."""
+    steps = (
+        Times(Step("b", role=("assistant", "tool")), 2, None),
+        Step("u", role="user"),
+    )
+    full = _random_convs(29, n_convs=4, max_turns=28)
+    b1 = full[full.turn_idx % 2 == 0]
+    b2 = pd.concat([full[full.turn_idx % 2 == 1], full.head(5)], ignore_index=True)
+    cfg = OrderedStreamConfig(pattern=steps, pattern_mode="skip")
+    got = _stream_got(spark, tmp_path, [b1, b2], cfg)
+    expect = _batch_expected(spark, full, steps=steps)
+    assert got == expect and len(got) > 0
+    assert any(e - s >= 2 for _, s, e in got)
+
+
+def test_in_set_marker_roundtrip(tmp_path):
+    """A tuple-valued step must survive the JSON marker round-trip (tuples
+    serialize as lists — the spec normalizes so resume compares equal)."""
+    import os
+
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        _check_engine_marker,
+        _pattern_spec,
+    )
+
+    steps = (
+        Times(Step("b", role=("assistant", "tool")), 2, None),
+        Step("u", role="user"),
+    )
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    spec = _pattern_spec(steps, None, "skip")
+    _check_engine_marker(ckpt, "classic", None, spec)
+    _check_engine_marker(ckpt, "classic", None, _pattern_spec(steps, None, "skip"))
+    with pytest.raises(ValueError, match="cannot resume"):
+        _check_engine_marker(
+            ckpt,
+            "classic",
+            None,
+            _pattern_spec(
+                (Times(Step("b", role=("tool", "assistant")), 2, None),
+                 Step("u", role="user")),
+                None,
+                "skip",
+            ),
+        )
+
+
+def test_in_set_cli_parse():
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from run_pipeline import parse_pattern
+
+    steps = parse_pattern("b=assistant|tool*2+,u=user")
+    assert isinstance(steps[0], Times)
+    assert steps[0].step.role == ("assistant", "tool")
+    assert steps[1].role == "user"
