@@ -443,3 +443,47 @@ def test_parse_not_between_cli():
     assert g[1].role == "user" and g[1].tool is None
     with pytest.raises(ValueError):
         parse_not_between("nonsense")
+
+
+def test_skip_matches_deduped_under_merge_on_key(spark, tmp_path):
+    """Eager cleanup + post-completion re-delivery re-emits AND re-matches
+    in skip mode too; merge_on_key must drop duplicate match rows by the
+    same match_end_idx watermark rule as strict mode."""
+    import os
+
+    from dataflow_ordered_processing_spark.streaming import (
+        start_ordered_pipeline,
+    )
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        SinkConfig,
+        read_sink,
+    )
+    from streaming_utils import StagedStream
+
+    full = pd.concat(
+        [scenarios.conversation(c, 13) for c in range(2)], ignore_index=True
+    )
+    base = str(tmp_path)
+    sink = SinkConfig(
+        data_path=os.path.join(base, "data"),
+        checkpoint=os.path.join(base, "ckpt"),
+        merge_on_key=True,
+    )
+    cfg = OrderedStreamConfig(
+        pattern=STEPS, pattern_mode="skip", cleanup_on_complete=True
+    )
+    st = StagedStream(spark, base)
+    q = start_ordered_pipeline(st.source(), sink, cfg)
+    try:
+        st.push(full)
+        q.processAllAvailable()
+        st.push(full)  # full re-delivery into fresh (removed) state
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    data = read_sink(spark, sink.data_path).toPandas()
+    assert not data.duplicated(subset=["conv_id", "turn_idx"]).any()
+    matches = read_sink(spark, sink.data_path, table="matches").toPandas()
+    expect = _batch_expected(spark, full)
+    assert len(matches) == len(expect) > 0
+    assert not matches.duplicated(subset=["conv_id", "start_idx", "end_idx"]).any()

@@ -32,6 +32,13 @@ def main() -> int:
         "--merge-on-key", action="store_true",
         help="crash-test the paranoid merge path (keyidx high-watermark filter)",
     )
+    ap.add_argument(
+        "--pattern", default=None,
+        help="crash-test the CEP path: run with this pattern and verify the "
+        "sink's match rows are exactly-once and equal the batch operator "
+        "over the recovered ordered output",
+    )
+    ap.add_argument("--pattern-mode", choices=("strict", "skip"), default="strict")
     args = ap.parse_args()
 
     from tools.scaling_bench import generate_input  # noqa: E402
@@ -56,6 +63,8 @@ def main() -> int:
     ]
     if args.merge_on_key:
         cmd.append("--merge-on-key")
+    if args.pattern:
+        cmd += ["--pattern", args.pattern, "--pattern-mode", args.pattern_mode]
 
     # leg 1: SIGKILL mid-run (no cleanup, no shutdown hooks)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
@@ -96,6 +105,46 @@ def main() -> int:
         "exactly_once": n_rows == n_unique == n_input,
         "leg2": leg2,
     }
+    if args.pattern:
+        # matches must ALSO be exactly-once across the crash replay and
+        # equal the batch operator over the recovered ordered table
+        sys.path.insert(0, os.path.join(REPO, "jobs"))
+        from run_pipeline import parse_pattern
+
+        from dataflow_ordered_processing_spark.operators.cep_core import Times
+        from dataflow_ordered_processing_spark.plans.cep import match_pattern
+
+        steps = list(parse_pattern(args.pattern))
+        got_df = read_sink(spark, os.path.join(out, "data"), table="matches")
+        got = sorted(
+            got_df.select("conv_id", "start_idx", "end_idx")
+            .toPandas()
+            .itertuples(index=False, name=None)
+        )
+        exp_m = match_pattern(data, steps, mode=args.pattern_mode)
+        if args.pattern_mode == "strict":
+            sel = ["conv_id", "CAST(start_idx AS BIGINT)", "CAST(end_idx AS BIGINT)"]
+        else:
+            first, last = steps[0], steps[-1]
+            end_col = (
+                f"{last.name}_end_idx" if isinstance(last, Times) else f"{last.name}_idx"
+            )
+            sel = ["conv_id", f"CAST({first.name}_idx AS BIGINT)",
+                   f"CAST({end_col} AS BIGINT)"]
+        exp = sorted(
+            exp_m.selectExpr(*sel).toPandas().itertuples(index=False, name=None)
+        )
+        verdict["matches"] = {
+            "pattern": args.pattern,
+            "mode": args.pattern_mode,
+            "sink_matches": len(got),
+            "batch_matches": len(exp),
+            "exactly_once_and_batch_equal": got == exp and len(got) > 0,
+        }
+        verdict["exactly_once"] = bool(
+            verdict["exactly_once"]
+            and verdict["matches"]["exactly_once_and_batch_equal"]
+        )
     print(json.dumps(verdict))
     spark.stop()
     return 0 if verdict["exactly_once"] and crashed else 1
