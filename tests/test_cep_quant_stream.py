@@ -506,3 +506,52 @@ def test_in_set_cli_parse():
     assert isinstance(steps[0], Times)
     assert steps[0].step.role == ("assistant", "tool")
     assert steps[1].role == "user"
+
+
+def test_quant_with_capped_drain(spark, tmp_path):
+    """max_emit_per_batch splits one conversation's drain across many timer
+    firings; the quantified frontier (incl. open runs spanning the capped
+    emission boundaries) must still find exactly the batch matches.
+    ProcessingTimeTimeout queries never quiesce under processAllAvailable —
+    drive with a trigger and poll the sink."""
+    import time
+
+    from streaming_utils import StagedStream
+    from dataflow_ordered_processing_spark.streaming import ordered_stream
+
+    full = _random_convs(13, n_convs=1, max_turns=24)
+    shuffled = full.sample(frac=1.0, random_state=3)
+    cfg = OrderedStreamConfig(
+        pattern=STEPS,
+        pattern_mode="skip",
+        max_emit_per_batch=3,
+        status_heartbeat_ms=300,
+    )
+    src = StagedStream(spark, str(tmp_path))
+    name = "quant_capped"
+    q = (
+        ordered_stream(src.source(), cfg)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        src.push(shuffled)
+        _, _, matches_df = split_output_cep(spark.table(name))
+        expect = _batch_expected(spark, full)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if matches_df.count() >= len(expect):
+                break
+            time.sleep(0.5)  # timer-driven drains flush the capped remainder
+        got = sorted(
+            matches_df.select("conv_id", "start_idx", "end_idx")
+            .toPandas()
+            .astype({"start_idx": "int64", "end_idx": "int64"})
+            .itertuples(index=False, name=None)
+        )
+    finally:
+        q.stop()
+    assert got == expect and len(got) > 0

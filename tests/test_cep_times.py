@@ -256,3 +256,25 @@ def test_strict_open_ended_times_raises(spark):
     df = spark.createDataFrame(_corpus(random.Random(1)))
     with pytest.raises(ValueError, match="exact count"):
         match_pattern(df, [Times(FLAG, 2, None), USER], mode="strict").count()
+
+
+def test_quant_plan_shape(spark):
+    """The quantified skip plan's run-detection windows must ride the SAME
+    key exchange as the hop tables (no extra shuffle per quantifier), and
+    the hop joins must stay narrow equi-joins — no Cartesian, no
+    sort-merge-join explosion beyond the per-step hops."""
+    df = spark.createDataFrame(_corpus(random.Random(2)))
+    plan = (
+        match_pattern(df, [Times(FLAG, 3, None), USER], mode="skip")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # window passes hash-partition by the key; hop joins may broadcast their
+    # narrow side (good) or re-key — every shuffle exchange must be keyed
+    # hash partitioning (no all-to-all / range repartition)
+    import re
+
+    for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
+        assert m.group(1) in ("hashpartitioning", "SinglePartition"), plan
