@@ -833,6 +833,47 @@ class StreamMatcher:
         return carry_from_lists(*fields)
 
 
+def expand_strict_times(steps) -> list:
+    """Strict mode: times(n, n) is exactly n consecutive copies of the step
+    (Flink strict contiguity — overlapping anchors inside longer runs DO
+    match, unlike skip mode's maximal-run reading); open-ended counts have
+    no finite strict expansion. THE single expander — the batch plan and the
+    streaming matcher both call it, so their strict quantifier semantics
+    cannot drift."""
+    out = []
+    for s in steps:
+        if not isinstance(s, Times):
+            out.append(s)
+            continue
+        if s.n_max != s.n_min:
+            raise ValueError(
+                f"strict mode requires an exact count — times({s.n_min}, "
+                f"{s.n_max}) on step {s.name!r} has no finite strict "
+                "expansion; use skip mode"
+            )
+        for j in range(s.n_min):
+            if isinstance(s.step, Step):
+                out.append(
+                    Step(f"{s.name}_{j + 1}", role=s.step.role, tool=s.step.tool)
+                )
+            else:
+                out.append((f"{s.name}_{j + 1}", s.sql))
+    return out
+
+
+def validate_pattern_knobs(pattern, mode, within_s, within_turns, not_between):
+    """THE shared config-time validation for every engine config
+    (OrderedStreamConfig / TwsConfig __post_init__): a pattern's knobs are
+    checked by building its matcher; knobs without a pattern are refused."""
+    if pattern is not None:
+        stream_matcher(pattern, mode, within_s, within_turns, not_between)
+    elif mode != "strict" or within_turns is not None or not_between:
+        raise ValueError(
+            "pattern_mode/pattern_within_turns/pattern_not_between require "
+            "pattern"
+        )
+
+
 def stream_matcher(
     pattern,
     mode: str = "strict",
@@ -860,25 +901,7 @@ def stream_matcher(
                     "batch-only (plans.cep.match_pattern)"
                 )
         if mode == "strict":
-            # exact counts have a finite strict expansion (same rule as
-            # the batch plan); open-ended ones do not
-            expanded = []
-            for s in steps:
-                if not isinstance(s, Times):
-                    expanded.append(s)
-                    continue
-                if s.n_max != s.n_min:
-                    raise ValueError(
-                        "strict mode requires an exact count — "
-                        f"times({s.n_min}, {s.n_max}) on step {s.name!r} "
-                        "has no finite strict expansion; use skip mode"
-                    )
-                for j in range(s.n_min):
-                    expanded.append(
-                        Step(f"{s.name}_{j + 1}", role=s.step.role,
-                             tool=s.step.tool)
-                    )
-            steps = tuple(expanded)
+            steps = tuple(expand_strict_times(steps))
             k = len(steps)
             quant = False
     if mode == "strict":

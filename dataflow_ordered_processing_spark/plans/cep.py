@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.cep_core import Step, Times
+from ..operators.cep_core import Step, Times, expand_strict_times
 
 
 def _norm(steps) -> list[dict]:
@@ -126,7 +126,8 @@ def match_pattern(
                 "not_between applies to skip mode only — strict steps are "
                 "consecutive turns with nothing between them"
             )
-        pairs = _expand_strict_times(pairs)
+        # ONE expander shared with the streaming matcher (review r7b)
+        pairs = _norm(expand_strict_times(list(steps)))
         return _match_strict(df, pairs, within, key, order, ts)
     if mode == "skip":
         if any(p["quant"] for p in pairs):
@@ -138,36 +139,6 @@ def match_pattern(
         )
     raise ValueError(f"unknown mode {mode!r} (strict | skip)")
 
-
-def _expand_strict_times(pairs: list[dict]) -> list[dict]:
-    """Strict mode: times(n, n) is exactly n consecutive copies of the step
-    (Flink strict contiguity — overlapping anchors inside longer runs DO
-    match, unlike skip mode's maximal-run reading). Open-ended quantifiers
-    have no finite strict expansion — use skip mode for those."""
-    out = []
-    for p in pairs:
-        if not p["quant"]:
-            out.append(p)
-            continue
-        if p["n_max"] != p["n_min"]:
-            raise ValueError(
-                f"strict mode requires an exact count — times({p['n_min']}, "
-                f"{p['n_max']}) on step {p['name']!r} has no finite strict "
-                "expansion; use skip mode"
-            )
-        for j in range(p["n_min"]):
-            out.append(
-                {
-                    "name": f"{p['name']}_{j + 1}",
-                    "sql": p["sql"],
-                    "quant": False,
-                    "n_min": 1,
-                    "n_max": 1,
-                }
-            )
-    if len(out) < 2:
-        raise ValueError("a pattern needs at least 2 steps")
-    return out
 
 
 def _norm_guards(not_between, k) -> dict:

@@ -115,25 +115,16 @@ class OrderedStreamConfig:
     pattern_not_between: dict | None = None  # skip: {segment_i: Step} guards
 
     def __post_init__(self) -> None:
-        if self.pattern is not None:
-            # shared validation (raises on strict+skip-only knobs, bad mode,
-            # non-Step guards) — fail at config time, not mid-stream
-            cep_core.stream_matcher(
-                self.pattern,
-                self.pattern_mode,
-                self.pattern_within_s,
-                self.pattern_within_turns,
-                self.pattern_not_between,
-            )
-        elif (
-            self.pattern_mode != "strict"
-            or self.pattern_within_turns is not None
-            or self.pattern_not_between
-        ):
-            raise ValueError(
-                "pattern_mode/pattern_within_turns/pattern_not_between "
-                "require pattern"
-            )
+        # shared validation (raises on strict+skip-only knobs, bad mode,
+        # non-Step guards) — fail at config time, not mid-stream; ONE
+        # helper for every engine config (review r7b)
+        cep_core.validate_pattern_knobs(
+            self.pattern,
+            self.pattern_mode,
+            self.pattern_within_s,
+            self.pattern_within_turns,
+            self.pattern_not_between,
+        )
 
 
 def _state_to_tuple(st: core.OrderedState) -> tuple:

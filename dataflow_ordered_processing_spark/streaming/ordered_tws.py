@@ -136,23 +136,13 @@ class TwsConfig:
     pattern_not_between: dict | None = None  # skip: {segment_i: Step} guards
 
     def __post_init__(self) -> None:
-        if self.pattern is not None:
-            cep_core.stream_matcher(
-                self.pattern,
-                self.pattern_mode,
-                self.pattern_within_s,
-                self.pattern_within_turns,
-                self.pattern_not_between,
-            )
-        elif (
-            self.pattern_mode != "strict"
-            or self.pattern_within_turns is not None
-            or self.pattern_not_between
-        ):
-            raise ValueError(
-                "pattern_mode/pattern_within_turns/pattern_not_between "
-                "require pattern"
-            )
+        cep_core.validate_pattern_knobs(
+            self.pattern,
+            self.pattern_mode,
+            self.pattern_within_s,
+            self.pattern_within_turns,
+            self.pattern_not_between,
+        )
         if self.max_emit_per_batch is not None and not self.ack_arrivals_driven_drain:
             raise ValueError(
                 "TwsConfig(max_emit_per_batch=...) on the TWS engine drains "
@@ -171,17 +161,10 @@ _DEFAULT_CURSOR = (0, 0, 0, 0, False, 0, 0, 0, 0, 0, 0, 0)
 class OrderedProcessor(StatefulProcessor):
     def __init__(self, cfg: TwsConfig | None = None):
         self.cfg = cfg or TwsConfig()
-        self.matcher = (
-            cep_core.stream_matcher(
-                self.cfg.pattern,
-                self.cfg.pattern_mode,
-                self.cfg.pattern_within_s,
-                self.cfg.pattern_within_turns,
-                self.cfg.pattern_not_between,
-            )
-            if self.cfg.pattern is not None
-            else None
-        )
+        # ONE matcher builder shared with the other engines (review r7b)
+        from .ordered_stream import cfg_matcher
+
+        self.matcher = cfg_matcher(self.cfg)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         ttl = self.cfg.state_ttl_ms

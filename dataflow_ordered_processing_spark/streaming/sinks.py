@@ -224,22 +224,41 @@ def _committed_subdirs(base: str, prefix: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _write_keyidx_delta(data_rows: DataFrame, data_path: str, epoch_id: int) -> None:
+def _write_keyidx_delta(
+    data_rows: DataFrame,
+    data_path: str,
+    epoch_id: int,
+    match_rows: DataFrame | None = None,
+) -> None:
     """Per-epoch high-watermark delta: max turn_idx per conversation among
-    the data rows actually written this epoch. Skip-if-exists like the data
-    epoch itself."""
+    the data rows actually written this epoch, plus (r7) the max
+    match_end_idx among its match rows — matches get their OWN watermark
+    because a quantified match is emitted in the batch where its final run
+    CLOSES, which can be one epoch after its end turn was committed; deduping
+    matches against the DATA watermark would drop that legitimate first
+    emission. Match ends are nondecreasing per conversation (runs close in
+    order; plain-step ends are in-batch), so the MAX fold is a valid
+    watermark. Skip-if-exists like the data epoch itself."""
     target = os.path.join(_keyidx_base(data_path), f"epoch={epoch_id}")
     if os.path.exists(os.path.join(target, "_SUCCESS")):
         return
+    # hi_turn/hi_match are pinned to BIGINT at write time: batches arrive
+    # with int turn_idx (TRANSCRIPT_SCHEMA) in production but long in some
+    # test harnesses, and the compact generation is read back with an
+    # EXPLICIT schema — one canonical stored type keeps that read valid for
+    # every writer
+    idx = data_rows.groupBy("conv_id").agg(
+        F.max(F.col("turn_idx").cast("long")).alias("hi_turn")
+    )
+    if match_rows is not None:
+        midx = match_rows.groupBy("conv_id").agg(
+            F.max(F.col("match_end_idx").cast("long")).alias("hi_match")
+        )
+        idx = idx.join(midx, "conv_id", "full_outer")
+    else:
+        idx = idx.withColumn("hi_match", F.lit(None).cast("long"))
     (
-        # hi_turn is pinned to BIGINT at write time: batches arrive with int
-        # turn_idx (TRANSCRIPT_SCHEMA) in production but long in some test
-        # harnesses, and the compact generation is read back with an
-        # EXPLICIT schema — one canonical stored type keeps that read valid
-        # for every writer
-        data_rows.groupBy("conv_id")
-        .agg(F.max(F.col("turn_idx").cast("long")).alias("hi_turn"))
-        .withColumn("kbucket", _kbucket(F.col("conv_id")))
+        idx.withColumn("kbucket", _kbucket(F.col("conv_id")))
         .coalesce(1)  # per-epoch deltas are tiny; one file keeps listings cheap
         .write.mode("overwrite")
         .parquet(target)
@@ -263,12 +282,18 @@ def _keyidx_catchup(spark: SparkSession, data_path: str) -> None:
     for _, _lo, hi, path in _visible_entries(data_path):
         if hi in have or hi <= folded_through:
             continue
-        rows = (
-            spark.read.parquet(path)
-            .filter(F.col("row_type") == "data")
-            .select("conv_id", "turn_idx")
+        edf = spark.read.parquet(path)
+        rows = edf.filter(F.col("row_type") == "data").select(
+            "conv_id", "turn_idx"
         )
-        _write_keyidx_delta(rows, data_path, hi)
+        matches = (
+            edf.filter(F.col("row_type") == "match").select(
+                "conv_id", "match_end_idx"
+            )
+            if "match_end_idx" in edf.columns
+            else None
+        )
+        _write_keyidx_delta(rows, data_path, hi, matches)
 
 
 def _keyidx_raw(
@@ -291,26 +316,39 @@ def _keyidx_raw(
         # _keyidx_compact); legacy int32 generations widen under Spark 4's
         # parquet type-widening read
         cdf = (
-            spark.read.schema("conv_id string, hi_turn long, kbucket int")
+            spark.read.schema(
+                "conv_id string, hi_turn long, hi_match long, kbucket int"
+            )
             .option("basePath", cpath)
             .parquet(cpath)
         )
         if buckets is not None:
             cdf = cdf.filter(F.col("kbucket").isin(buckets))
-        parts.append(cdf.select("conv_id", "hi_turn", F.col("kbucket").cast("int")))
+        parts.append(
+            cdf.select(
+                "conv_id", "hi_turn", "hi_match", F.col("kbucket").cast("int")
+            )
+        )
     deltas = [p for _, p in _committed_subdirs(base, "epoch")]
     if deltas:
         ddf = spark.read.parquet(*deltas)
         if buckets is not None:
             ddf = ddf.filter(F.col("kbucket").isin(buckets))
-        # cast normalizes LEGACY int32 deltas (pre-pinning) to the bigint
-        # the union and the compact read expect
+        # casts normalize LEGACY deltas (int32 hi_turn pre-pinning; no
+        # hi_match column pre-r7) to the canonical shape
+        if "hi_match" not in ddf.columns:
+            ddf = ddf.withColumn("hi_match", F.lit(None).cast("long"))
         parts.append(
-            ddf.select("conv_id", F.col("hi_turn").cast("long").alias("hi_turn"), "kbucket")
+            ddf.select(
+                "conv_id",
+                F.col("hi_turn").cast("long").alias("hi_turn"),
+                F.col("hi_match").cast("long").alias("hi_match"),
+                "kbucket",
+            )
         )
     if not parts:
         return spark.createDataFrame(
-            [], "conv_id string, hi_turn long, kbucket int"
+            [], "conv_id string, hi_turn long, hi_match long, kbucket int"
         )
     out = parts[0]
     for p in parts[1:]:
@@ -333,7 +371,10 @@ def _keyidx_compact(spark: SparkSession, data_path: str) -> None:
     merged = (
         _keyidx_raw(spark, data_path)
         .groupBy("conv_id")
-        .agg(F.max("hi_turn").alias("hi_turn"))
+        .agg(
+            F.max("hi_turn").alias("hi_turn"),
+            F.max("hi_match").alias("hi_match"),
+        )
         .withColumn("kbucket", _kbucket(F.col("conv_id")))
     )
     if merged.isEmpty():
@@ -376,19 +417,30 @@ def _keyidx_watermarks(
     return (
         _keyidx_raw(spark, data_path, buckets)
         .groupBy("conv_id")
-        .agg(F.max("hi_turn").alias("hi_turn"))
+        .agg(
+            F.max("hi_turn").alias("hi_turn"),
+            F.max("hi_match").alias("hi_match"),
+        )
     )
 
 
-def _fresh_above_watermark(rows: DataFrame, idx: DataFrame, idx_col: str) -> DataFrame:
+def _fresh_above_watermark(
+    rows: DataFrame, idx: DataFrame, idx_col: str, wm_col: str = "hi_turn"
+) -> DataFrame:
     """Drop batch rows at-or-below their conversation's sink high watermark
-    (compared on ``idx_col``). Correct because the ordered operator's
-    emission is contiguous per conversation (O7): turn ≤ hi_turn ⟺ the key
-    already landed."""
+    (``wm_col``, compared on ``idx_col``). Data rows compare against
+    hi_turn (the ordered emission is contiguous per conversation, O7: turn
+    ≤ hi_turn ⟺ the row already landed); match rows compare against
+    hi_match, the committed MATCH-end watermark — a quantified match can
+    legitimately emit one epoch after its end turn's data row (the run
+    closes at the next batch's break row), so the data watermark would drop
+    it (review r7a). Match ends are nondecreasing per conversation, so
+    hi_match is a valid dedup line; a NULL hi_match (no matches committed
+    yet, or a pre-r7 index generation) keeps the row."""
     return (
         rows.join(idx, "conv_id", "left")
-        .filter(F.col("hi_turn").isNull() | (F.col(idx_col) > F.col("hi_turn")))
-        .drop("hi_turn")
+        .filter(F.col(wm_col).isNull() | (F.col(idx_col) > F.col(wm_col)))
+        .drop("hi_turn", "hi_match")
     )
 
 
@@ -449,20 +501,25 @@ def split_sink(cfg: SinkConfig):
                     unified = persisted
                 data_rows = unified.filter(F.col("row_type") == "data")
                 # match conversations are always a subset of the batch's
-                # data conversations (a match is emitted with its end turn),
-                # so ONE watermark index serves both row classes
+                # data conversations (a quantified match's close is
+                # triggered by a newly emitted break row, so the batch has
+                # data rows for the conv), so ONE watermark index serves
+                # both row classes
                 idx = _keyidx_watermarks(spark, cfg.data_path, data_rows)
                 fresh_data = _fresh_above_watermark(data_rows, idx, "turn_idx")
                 if "match_start_idx" in batch_df.columns:
                     # match rows need the same cross-epoch dedupe (review
                     # r6c): under eager state cleanup, re-delivered turns
-                    # re-emit AND re-match; a match whose END turn is at or
-                    # below the conversation's committed watermark was
-                    # already emitted with those turns — drop it like them
+                    # re-emit AND re-match — but against the committed
+                    # MATCH-end watermark, not the data watermark (review
+                    # r7a: a deferred quantified match can land one epoch
+                    # after its end turn's data row; see
+                    # _fresh_above_watermark)
                     fresh_match = _fresh_above_watermark(
                         unified.filter(F.col("row_type") == "match"),
                         idx,
                         "match_end_idx",
+                        wm_col="hi_match",
                     )
                     # NULL row_type is kept explicitly: `~isin` is NULL (not
                     # true) for NULL input under three-valued logic, which
@@ -522,6 +579,13 @@ def split_sink(cfg: SinkConfig):
                         ),
                         cfg.data_path,
                         epoch_id,
+                        match_rows=(
+                            unified.filter(F.col("row_type") == "match").select(
+                                "conv_id", "match_end_idx"
+                            )
+                            if "match_end_idx" in unified.columns
+                            else None
+                        ),
                     )
                 if cfg.compact_epochs_after:
                     # AFTER the delta write: every folded epoch therefore has

@@ -555,3 +555,64 @@ def test_quant_with_capped_drain(spark, tmp_path):
     finally:
         q.stop()
     assert got == expect and len(got) > 0
+
+
+def test_deferred_quant_match_survives_merge_on_key(spark, tmp_path):
+    """Review r7a regression: a quantified match whose final run closes one
+    batch AFTER its end turn was committed (run open at the epoch boundary,
+    broken by the next batch's first row) must NOT be dropped by
+    merge_on_key — matches dedup against the committed MATCH-end watermark
+    (keyidx hi_match), not the data-turn watermark."""
+    import os
+
+    from dataflow_ordered_processing_spark.streaming import (
+        start_ordered_pipeline,
+    )
+    from dataflow_ordered_processing_spark.streaming.sinks import (
+        SinkConfig,
+        read_sink,
+    )
+    from streaming_utils import StagedStream
+
+    rows = []
+    seq = ["user", "tool", "tool", "user", "system"]
+    for i, role in enumerate(seq, start=1):
+        rows.append(
+            {
+                "conv_id": "r000",
+                "turn_idx": np.int32(i),
+                "role": role,
+                "text": "__end__" if role == "system" else f"x{i}",
+                "tool": None,
+                "ts": pd.Timestamp("2026-02-05") + pd.Timedelta(seconds=i * 30),
+            }
+        )
+    full = pd.DataFrame(rows)
+    steps = (Step("u", role="user"), Times(Step("t", role="tool"), 2, None))
+    base = str(tmp_path)
+    sink = SinkConfig(
+        data_path=os.path.join(base, "data"),
+        checkpoint=os.path.join(base, "ckpt"),
+        merge_on_key=True,
+    )
+    cfg = OrderedStreamConfig(pattern=steps, pattern_mode="skip")
+    st = StagedStream(spark, base)
+    q = start_ordered_pipeline(st.source(), sink, cfg)
+    try:
+        # epoch 1: turns 1-3 — the tool run (2,3) is OPEN at the boundary,
+        # data watermark commits hi_turn=3
+        st.push(full.iloc[:3])
+        q.processAllAvailable()
+        # epoch 2: turn 4 breaks the run → match (1,3) emits NOW, with
+        # match_end_idx=3 == the already-committed data watermark
+        st.push(full.iloc[3:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    matches = read_sink(spark, sink.data_path, table="matches").toPandas()
+    got = sorted(
+        matches[["conv_id", "start_idx", "end_idx"]]
+        .astype({"start_idx": "int64", "end_idx": "int64"})
+        .itertuples(index=False, name=None)
+    )
+    assert got == [("r000", 1, 3)]  # dropped entirely before the hi_match fix

@@ -117,13 +117,10 @@ def main() -> int:
     # turn — run detection + hop joins (_match_skip_quant). The flag is a
     # deterministic md5 predicate (geometric run lengths; the corpus role
     # column cycles, so same-role runs can't exercise a quantifier).
+    from __spark_entry__ import _CEP_TIMES_FLAG  # the gate's exact flag
     from dataflow_ordered_processing_spark.operators.cep_core import Times
 
-    flag = (
-        "substr(md5(concat(conv_id, ':', CAST(turn_idx AS STRING), ':q')),"
-        " 1, 1) >= '8'"
-    )
-    times_steps = [Times(("h", flag), 3, None), Step("u", role="user")]
+    times_steps = [Times(("h", _CEP_TIMES_FLAG), 3, None), Step("u", role="user")]
 
     batch = {}
     for name, plan in (
