@@ -1321,6 +1321,106 @@ def _q_cep_funnel_stream(spark, sf_dir):
     return matches
 
 
+def _q_cep_quant_stream(spark, sf_dir):
+    """QUANTIFIED CEP on the stream (late r7): user → a maximal run of
+    exactly 2 consecutive non-user turns (role IN (assistant, tool) — the
+    IN-set alphabet), matched by the classic engine over its in-order
+    emission of the damaged arrival. The 24-file/8-per-trigger staging
+    splits runs across micro-batch boundaries, so the open-run carry and
+    the deferred (close-triggered) emission are genuinely driver-exercised.
+    Run lengths are constant 2 on the rigid role cycle (the quantifier's
+    length VARIANCE is covered by the batch `cep_times` row); what this row
+    pins is the streaming quant machinery: open-run state, deferral,
+    completion flush. Oracle = run-detection SQL over the emittable
+    contiguous prefix, excluding runs touching an INCOMPLETE conversation's
+    last emitted turn — the stream holds those open (maximality unproven:
+    more turns may arrive), by design."""
+    from dataflow_ordered_processing_spark.operators.cep_core import Times
+    from dataflow_ordered_processing_spark.schemas import TRANSCRIPT_SCHEMA
+    from dataflow_ordered_processing_spark.streaming import (
+        OrderedStreamConfig,
+        ordered_stream,
+    )
+    from dataflow_ordered_processing_spark.streaming.ordered_stream import (
+        split_output_cep,
+    )
+
+    stage = _stage_dir("cep-quant-stream-src")
+    _arrival_df(spark, sf_dir).repartition(24).write.mode("overwrite").parquet(stage)
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(stage)
+    )
+    name = "cep_quant_stream_out"
+    cfg = OrderedStreamConfig(
+        pattern=(
+            _CepStep("u", role="user"),
+            Times(_CepStep("b", role=("assistant", "tool")), 2, 2),
+        ),
+        pattern_mode="skip",
+    )
+    q = (
+        ordered_stream(src, cfg)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _, _, matches = split_output_cep(spark.table(name))
+    return matches
+
+
+_CEP_QUANT_STREAM_ORACLE = _with_transcripts(
+    """
+    SELECT conv_id, start_idx, end_idx, ts_first, ts_last, span_us FROM (
+      WITH prefix AS (SELECT * FROM classified WHERE rn = turn_idx),
+      base AS (
+        SELECT conv_id, turn_idx, ts, role,
+               role IN ('assistant', 'tool') AS p,
+               coalesce(lag(role IN ('assistant', 'tool')) OVER w, FALSE)
+                   AS prevp,
+               min(CASE WHEN NOT role IN ('assistant', 'tool')
+                        THEN turn_idx END) OVER wf AS nb,
+               max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+        FROM prefix
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+               wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      ),
+      runs AS (
+        SELECT conv_id, turn_idx AS b_idx, coalesce(nb - 1, mx) AS b_end_idx
+        FROM base
+        WHERE p AND NOT prevp
+              AND coalesce(nb - 1, mx) - turn_idx + 1 = 2
+              -- a run touching an incomplete conversation's last emitted
+              -- turn is OPEN on the stream (held until proven maximal);
+              -- a COMPLETE conversation's sentinel ('system') breaks runs
+              -- before the end, so b_end < mx holds there automatically
+              AND coalesce(nb - 1, mx) < mx
+      ),
+      hop AS (
+        SELECT a.conv_id, a.turn_idx AS u_idx, a.ts AS ts_first,
+               min(r.b_idx) AS b_idx
+        FROM base a
+        JOIN runs r ON r.conv_id = a.conv_id AND r.b_idx > a.turn_idx
+        WHERE a.role = 'user'
+        GROUP BY a.conv_id, a.turn_idx, a.ts
+      )
+      SELECT h.conv_id, CAST(h.u_idx AS BIGINT) AS start_idx,
+             CAST(r.b_end_idx AS BIGINT) AS end_idx, h.ts_first,
+             b2.ts AS ts_last,
+             epoch_us(b2.ts) - epoch_us(h.ts_first) AS span_us
+      FROM hop h
+      JOIN runs r ON r.conv_id = h.conv_id AND r.b_idx = h.b_idx
+      JOIN base b2 ON b2.conv_id = h.conv_id AND b2.turn_idx = r.b_end_idx
+    )
+    """
+)
+
+
 _CEP_FUNNEL_STREAM_ORACLE = _cep_funnel_oracle(
     f"epoch_us(ts_last) - epoch_us(ts_first) "
     f"<= {_CEP_FUNNEL_WITHIN_S} * CAST(1000000 AS BIGINT)",
@@ -1450,9 +1550,12 @@ def _q_hotkey_routed(spark, sf_dir):
 # dedup_keep_first and doc_length_stats move to extras (keep_first differs
 # from in-gate dedup_exact only by the keep-policy window rank;
 # doc_length_stats is a plain agg whose text-stats family keeps
-# token_count/quality_score/vocab_topk in-gate — both still exact-checked
-# in extras).
+# token_count/quality_score/vocab_topk in-gate; late-r7 cep_quant_stream
+# — streaming quantifier machinery driver-gated — displaces simhash, whose
+# fingerprint family keeps fingerprint/minhash/cosine_near_dup in-gate —
+# all still exact-checked in extras).
 _NEVER_CHECKED_FIRST = [
+    "cep_quant_stream",
     "cep_times",
     "cep_funnel_stream",
     "cep_strict",
@@ -1474,6 +1577,7 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
+    "simhash",
     "dedup_keep_first",
     "doc_length_stats",
     "cep_funnel_turns",
@@ -1530,6 +1634,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel": _q_cep_funnel,
         "cep_funnel_stream": _q_cep_funnel_stream,
         "cep_times": _q_cep_times,
+        "cep_quant_stream": _q_cep_quant_stream,
         "cep_stream": _q_cep_stream,
         "cep_funnel_turns": _q_cep_funnel_turns,
         "cep_funnel_rate": _q_cep_funnel_rate,
@@ -1725,6 +1830,7 @@ def _all_oracles() -> dict[str, str]:
         "cep_funnel": _CEP_FUNNEL_ORACLE,
         "cep_funnel_stream": _CEP_FUNNEL_STREAM_ORACLE,
         "cep_times": _CEP_TIMES_ORACLE,
+        "cep_quant_stream": _CEP_QUANT_STREAM_ORACLE,
         "cep_stream": _CEP_STREAM_ORACLE,
         "cep_funnel_turns": _CEP_FUNNEL_TURNS_ORACLE,
         "cep_funnel_rate": _cep_funnel_rate_oracle(),
