@@ -575,6 +575,23 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(docs)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing (late r7): concat-and-chunk assignment
+    — each document's chunk id and in-chunk token offset under 512-token
+    sequences. Distributed two-phase prefix sum (per-bucket cumsums in
+    parallel + broadcast bucket offsets); the oracle runs the equivalent
+    single-window form."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.pack_sequences(docs, 512)
+
+
+def _q_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated-passage blocklist (late r7): word 8-grams in
+    >= 2 distinct documents — digest-only shuffles, corpus scanned once."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repeated_ngrams(docs, shingle=8, min_docs=2)
+
+
 def _q_token_count(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.token_count(docs)
@@ -1552,9 +1569,14 @@ def _q_hotkey_routed(spark, sf_dir):
 # doc_length_stats is a plain agg whose text-stats family keeps
 # token_count/quality_score/vocab_topk in-gate; late-r7 cep_quant_stream
 # — streaming quantifier machinery driver-gated — displaces simhash, whose
-# fingerprint family keeps fingerprint/minhash/cosine_near_dup in-gate —
-# all still exact-checked in extras).
+# fingerprint family keeps fingerprint/minhash/cosine_near_dup in-gate; and
+# pack_sequences + repeated_ngrams (training-prep ops) displace role_rollup
+# (plain groupBy; the agg family keeps completion_rollup etc.) and
+# user_assistant_pairs (first_match_stream keeps the interval-join family)
+# — all still exact-checked in extras).
 _NEVER_CHECKED_FIRST = [
+    "pack_sequences",
+    "repeated_ngrams",
     "cep_quant_stream",
     "cep_times",
     "cep_funnel_stream",
@@ -1577,6 +1599,8 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 _EXTRA_KEYS = [
+    "role_rollup",
+    "user_assistant_pairs",
     "simhash",
     "dedup_keep_first",
     "doc_length_stats",
@@ -1635,6 +1659,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel_stream": _q_cep_funnel_stream,
         "cep_times": _q_cep_times,
         "cep_quant_stream": _q_cep_quant_stream,
+        "pack_sequences": _q_pack_sequences,
+        "repeated_ngrams": _q_repeated_ngrams,
         "cep_stream": _q_cep_stream,
         "cep_funnel_turns": _q_cep_funnel_turns,
         "cep_funnel_rate": _q_cep_funnel_rate,
@@ -1940,6 +1966,29 @@ def _all_oracles() -> dict[str, str]:
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
                    CAST(length(text) AS INT) AS n_chars_measured
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(cum // 512 AS BIGINT) AS seq_id,
+                   CAST(cum % 512 AS BIGINT) AS token_offset
+            FROM c
+        """,
+        "repeated_ngrams": f"""
+            WITH w AS (SELECT doc_id, string_split(trim({_NORM}), ' ') AS w
+                       FROM documents),
+            sh AS (SELECT doc_id, list_distinct({_SHINGLES8}) AS sh FROM w),
+            doc_g AS (SELECT DISTINCT doc_id, md5(unnest(sh)) AS gh FROM sh)
+            SELECT gh, CAST(count(*) AS BIGINT) AS n_docs
+            FROM doc_g GROUP BY gh HAVING count(*) >= 2
         """,
         "redact_pii": _redact_pii_oracle(),
         "multimodal_features": _multimodal_oracle(),

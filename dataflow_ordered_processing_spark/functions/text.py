@@ -9,7 +9,7 @@ __spark_entry__.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
@@ -386,4 +386,78 @@ def training_mix(
         "n_tokens",
         "quality",
         _split_expr("doc_id", train_pct, val_pct).alias("split"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    col: str = "text",
+    order: str = "doc_id",
+    buckets: int = 8192,
+) -> DataFrame:
+    """Pretraining sequence-packing assignment: documents are concatenated
+    in ``order`` and chunked every ``max_tokens`` whitespace tokens (the
+    standard concat-and-chunk packing GPT-style pipelines use); each doc is
+    assigned the chunk its first token falls in plus its offset inside it.
+
+    100-TB plan shape: a global prefix sum is the textbook scale trap (one
+    ORDER BY window = every row through one partition), so this runs the
+    distributed two-phase form — per-bucket cumulative sums in parallel
+    windows (buckets are contiguous ``order`` ranges), bucket totals rolled
+    into offsets (a window over #buckets rows, driver-scale), offsets
+    BROADCAST back. Exactly equal to the single-window form, which is what
+    the DuckDB oracle runs.
+
+    Output: (doc_id, n_tokens, seq_id, token_offset).
+    """
+    n_tok = F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("long")
+    t = df.select("doc_id", F.col(order).alias("_ord"), n_tok.alias("n_tokens"))
+    t = t.withColumn("_b", F.floor(F.col("_ord") / F.lit(buckets)).cast("long"))
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("_cum_b", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0)))
+    totals = t.groupBy("_b").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_b", "_off")
+    return (
+        t.join(F.broadcast(offsets), "_b")
+        .withColumn("_cum", F.col("_off") + F.col("_cum_b"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            # integer div/mod — exact at any scale (no double rounding)
+            F.expr(f"CAST(_cum DIV {int(max_tokens)} AS BIGINT)").alias("seq_id"),
+            F.pmod(F.col("_cum"), F.lit(int(max_tokens)))
+            .cast("long")
+            .alias("token_offset"),
+        )
+    )
+
+
+def repeated_ngrams(
+    df: DataFrame, shingle: int = 8, min_docs: int = 2, col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated-passage detection (the boilerplate /
+    memorization hazard class of Lee et al. 2022's train-data dedup): word
+    ``shingle``-grams occurring in at least ``min_docs`` DISTINCT documents.
+    The result is the blocklist a masking/filter pass consumes.
+
+    100-TB plan shape: the corpus is scanned once, grams leave the scan as
+    16-byte md5 digests, and the only shuffles move (digest, doc_id) pairs
+    — never text. Returns (gh, n_docs)."""
+    from .dedup import _word_shingles
+
+    return (
+        df.select("doc_id", F.explode(_word_shingles(col, shingle)).alias("g"))
+        .select(F.md5("g").alias("gh"), "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
     )
