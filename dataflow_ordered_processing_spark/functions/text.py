@@ -35,10 +35,17 @@ PII_PATTERNS = [
 ]
 
 
+def _ws_token_count(col: str) -> F.Column:
+    """THE whitespace tokenizer (shared by token_count and pack_sequences —
+    review r7c: two copies would let packing assignments and token counts
+    silently diverge if the convention ever changes)."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+
+
 def token_count(df: DataFrame, col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish counts: a real pre-tokenizer regex match
     count (BPE_REGEX) and the cheap chars/4 estimate."""
-    toks = F.size(F.split(F.trim(F.col(col)), r"\s+"))
+    toks = _ws_token_count(col)
     return df.select(
         "doc_id",
         toks.alias("n_ws_tokens"),
@@ -404,19 +411,47 @@ def pack_sequences(
     100-TB plan shape: a global prefix sum is the textbook scale trap (one
     ORDER BY window = every row through one partition), so this runs the
     distributed two-phase form — per-bucket cumulative sums in parallel
-    windows (buckets are contiguous ``order`` ranges), bucket totals rolled
-    into offsets (a window over #buckets rows, driver-scale), offsets
+    windows over contiguous ``order`` RANGES (bucket width derived from the
+    order column's actual min/max, one narrow-column agg, so sparse ids and
+    epoch timestamps still yield ~``buckets`` buckets — review r7c: a
+    value-magnitude bucket id degenerates to one doc per bucket on sparse
+    keys and resurrects the global window), bucket totals rolled into
+    offsets (a window over ≤``buckets`` rows, driver-scale), offsets
     BROADCAST back. Exactly equal to the single-window form, which is what
-    the DuckDB oracle runs.
+    the DuckDB oracle runs. ``order`` must be numeric; ties are broken
+    deterministically by doc_id (document the same tie-break in any custom
+    oracle).
 
     Output: (doc_id, n_tokens, seq_id, token_offset).
     """
-    n_tok = F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("long")
-    t = df.select("doc_id", F.col(order).alias("_ord"), n_tok.alias("n_tokens"))
-    t = t.withColumn("_b", F.floor(F.col("_ord") / F.lit(buckets)).cast("long"))
+    if not any(
+        f.name == order and f.dataType.typeName() in
+        ("integer", "long", "short", "byte", "double", "float", "decimal",
+         "timestamp", "timestamp_ntz", "date")
+        for f in df.schema.fields
+    ):
+        raise ValueError(
+            f"pack_sequences order column {order!r} must be numeric or "
+            "temporal (bucket ranges are arithmetic on its values)"
+        )
+    n_tok = _ws_token_count(col).cast("long")
+    t = df.select(
+        "doc_id", F.col(order).cast("long").alias("_ord"), n_tok.alias("n_tokens")
+    )
+    lo, hi = t.agg(F.min("_ord"), F.max("_ord")).collect()[0]
+    if lo is None:
+        return t.select(
+            "doc_id", "n_tokens",
+            F.lit(None).cast("long").alias("seq_id"),
+            F.lit(None).cast("long").alias("token_offset"),
+        ).filter(F.lit(False))
+    width = max(1, -(-(int(hi) - int(lo) + 1) // int(buckets)))  # ceil div
+    t = t.withColumn(
+        "_b", F.floor((F.col("_ord") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    )
     wb = (
         Window.partitionBy("_b")
-        .orderBy("_ord")
+        .orderBy("_ord", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     t = t.withColumn("_cum_b", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0)))
@@ -453,10 +488,13 @@ def repeated_ngrams(
     — never text. Returns (gh, n_docs)."""
     from .dedup import _word_shingles
 
+    # _word_shingles is array_distinct PER DOC already, so (gh, doc_id) is
+    # unique out of the explode — count(*) IS the distinct-doc count, and a
+    # .distinct() here would only add a second full-width shuffle for
+    # nothing (review r7c)
     return (
         df.select("doc_id", F.explode(_word_shingles(col, shingle)).alias("g"))
         .select(F.md5("g").alias("gh"), "doc_id")
-        .distinct()
         .groupBy("gh")
         .agg(F.count("*").cast("long").alias("n_docs"))
         .filter(F.col("n_docs") >= int(min_docs))

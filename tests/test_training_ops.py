@@ -20,7 +20,7 @@ def test_pack_sequences_matches_single_window(spark):
     )
     df = spark.createDataFrame(pdf)
     expect = None
-    for buckets in (8192, 16, 1):  # one bucket / many / one-doc-per-bucket
+    for buckets in (8192, 16, 1):  # one bucket / many / one-per-bucket widths
         got = (
             pack_sequences(df, 64, buckets=buckets)
             .orderBy("doc_id")
@@ -58,8 +58,11 @@ def test_pack_sequences_scale_shape(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" not in plan
+    # the offsets join must actually BE a broadcast hash join (review r7c:
+    # an `or` here was vacuous — a ShuffledHashJoin degradation sailed
+    # through)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # the global window must be fed by the aggregate, not the raw rows:
     # exactly one single-partition exchange, downstream of a HashAggregate
     assert plan.count("Exchange SinglePartition") == 1
@@ -92,5 +95,60 @@ def test_repeated_ngrams_blocklist(spark):
     gh = hashlib.md5(boiler.encode()).hexdigest()
     hit = got[got.gh == gh]
     assert len(hit) == 1 and int(hit.n_docs.iloc[0]) == 3
-    # nothing from the singleton docs
-    assert (got.n_docs >= 2).all()
+    # a gram unique to one doc must be ABSENT — by hash, not via the
+    # output's own >= min_docs filter (review r7c: that assert was
+    # tautological)
+    singleton = hashlib.md5(b"completely unrelated content with no").hexdigest()
+    assert singleton not in set(got.gh)
+
+
+def test_pack_sequences_sparse_order_and_ties(spark):
+    """Sparse order values (snowflake-id spacing) must still land in
+    ~`buckets` buckets (width from the actual range — not one doc per
+    bucket), and order ties break deterministically by doc_id."""
+    import pandas as pd
+
+    from dataflow_ordered_processing_spark.functions.text import pack_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "ord_sparse": [i * 1_000_003 for i in range(40)],  # >> bucket count
+            "text": [" ".join(["w"] * (5 + i % 9)) for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        pack_sequences(df, 32, order="ord_sparse", buckets=8)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    n = pdf["text"].str.split().str.len()
+    cum = n.cumsum().shift(fill_value=0)
+    assert got["seq_id"].tolist() == (cum // 32).tolist()
+    assert got["token_offset"].tolist() == (cum % 32).tolist()
+    # ties: same order value twice → doc_id breaks deterministically
+    pdf2 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "ts_ord": [10, 10, 20, 20],
+            "text": ["a b c", "d e", "f g h i", "j"],
+        }
+    )
+    got2 = (
+        pack_sequences(spark.createDataFrame(pdf2), 4, order="ts_ord")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # doc order under ties = doc_id order: cum = 0,3,5,9
+    assert got2["seq_id"].tolist() == [0, 0, 1, 2]
+    assert got2["token_offset"].tolist() == [0, 3, 1, 1]
+    # non-numeric order refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="numeric"):
+        pack_sequences(
+            spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]})),
+            8,
+            order="text",
+        )
