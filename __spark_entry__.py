@@ -209,6 +209,28 @@ def _arrival_seq_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.withColumn("arrival_seq", F.row_number().over(w).cast("long")).drop("copy")
 
 
+def _rebalanced(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism when the input
+    arrives in fewer splits than cores (guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read").
+
+    The driver's `documents`/`embeddings` tables are ONE parquet file with
+    one row group, so every per-document expression (shingle explode, md5
+    digests, quality regexes, dot products) otherwise runs on a single core.
+    The round-robin exchange moves only the tiny under-parallel table; at
+    production scale the scan already has >= cores splits and this is a
+    no-op (no shuffle added)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rebalanced(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+
 def _q_status_history(spark, sf_dir):
     return per_event_status_batch(_arrival_seq_df(spark, sf_dir))
 
@@ -588,7 +610,7 @@ def _q_pack_sequences(spark, sf_dir):
 def _q_repeated_ngrams(spark, sf_dir):
     """Cross-document repeated-passage blocklist (late r7): word 8-grams in
     >= 2 distinct documents — digest-only shuffles, corpus scanned once."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return text.repeated_ngrams(docs, shingle=8, min_docs=2)
 
 
@@ -598,13 +620,13 @@ def _q_token_count(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(docs, k=8, bands=4)
 
 
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact Jaccard verify stage over the MinHash-LSH candidates."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
     return dedup.ngram_jaccard(pairs, docs, shingle=3)
 
@@ -626,7 +648,7 @@ def _q_dedup_keep_first(spark, sf_dir):
     keep the minimum doc of each component (r4: full transitive closure —
     a chain A~B~C keeps only A; the one-round single-link is still
     available as transitive=False)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
     return dedup.dedup_keep_first(docs, pairs, transitive=True).select("doc_id")
 
@@ -643,7 +665,7 @@ def _q_dedup_pipeline(spark, sf_dir):
     explode once, digest-only band join (never all-pairs), Jaccard only on
     the candidate pairs, CC shuffles (doc_id,label) int pairs — at 100 TB
     nothing here materializes more than candidates × shingle sets."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
     verified = (
         dedup.ngram_jaccard(pairs, docs, shingle=3)
@@ -658,7 +680,7 @@ def _q_dedup_clusters(spark, sf_dir):
     min-label propagation with pointer-jumping compression to fixpoint
     (dedup.dedup_clusters) — every doc labelled by the minimum doc_id
     transitively reachable; oracle is a recursive CTE over the same pairs."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4)
     return dedup.dedup_clusters(docs, pairs)
 
@@ -666,7 +688,7 @@ def _q_dedup_clusters(spark, sf_dir):
 def _q_lsh_bucket_stats(spark, sf_dir):
     """LSH band-bucket size distribution — the audit query behind the
     max_bucket cap choice (degenerate-bucket guard)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return dedup.lsh_bucket_stats(docs, k=8, bands=4)
 
 
@@ -726,7 +748,7 @@ def _q_training_mix(spark, sf_dir):
     broadcast for the anti-join; sampling/split are zero-shuffle md5
     buckets. Composed from the exact-oracle recipes of lang_id /
     quality_score / decontaminate / sample_stratified / dataset_split."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return text.training_mix(
         docs,
@@ -742,7 +764,7 @@ def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 8-gram with the
     (deterministic pseudo-)eval set doc_id % 97 == 0 — broadcast digested
     benchmark grams, one corpus scan, no corpus shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return text.decontaminate(docs, bench)
 

@@ -32,24 +32,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _per_key_prefix_len(df: DataFrame, block: int, initial_idx: int) -> DataFrame:
-    """(conv_id, prefix_len): length of the maximal contiguous run starting
-    at initial_idx, computed with only salted shuffles + tiny merges."""
-    t = F.col("turn_idx").cast("long")
-    df = df.filter(t >= initial_idx)  # sub-initial rows are duplicates, not data
-    blk = ((t - initial_idx) / block).cast("long")
+def _salted_ranked(df: DataFrame, block: int, initial_idx: int) -> DataFrame:
+    """ONE salted payload pass shared by the whole two-phase plan: salt rows
+    into blocks, dedupe duplicate deliveries (first-by-ts per turn), and
+    slot-rank inside each block — a single (conv_id, _block) exchange
+    carrying the payload, eagerly localCheckpoint'ed so the four consumers
+    (block stats, prefix merge, release filter, depth cumsums) read one
+    materialization. Before r8 each consumer branch re-derived its input
+    from scratch: the physical plan held 48 separate scans of the source
+    and ~100 window operators; now the source is scanned once.
 
-    # Dedup + within-block slot rank in one exchange on (conv_id, _block):
-    # rank rows by turn_idx inside the block counting each turn once.
+    At scale the checkpoint materializes the deduped arrival once on
+    executor-local storage — the same order of cost as one extra shuffle
+    write of the payload, bought back several times over by the removed
+    re-derivations. (Same caveat as the dedup module's checkpoints: with
+    preemptible executors prefer reliable .checkpoint().)"""
+    t = F.col("turn_idx").cast("long")
+    blk = ((t - initial_idx) / block).cast("long")
     w_blk = Window.partitionBy("conv_id", "_block").orderBy("turn_idx")
     w_dup = Window.partitionBy("conv_id", "_block", "turn_idx").orderBy("ts")
-    ranked = (
-        df.select("conv_id", "turn_idx", "ts")
+    return (
+        df.filter(t >= initial_idx)  # sub-initial rows are duplicates
         .withColumn("_block", blk)
         .withColumn("_dup", F.row_number().over(w_dup))
         .filter(F.col("_dup") == 1)
+        .drop("_dup")
         .withColumn("_brn", F.row_number().over(w_blk))
+        .localCheckpoint(eager=True)
     )
+
+
+def _per_key_prefix_len(ranked: DataFrame, block: int, initial_idx: int) -> DataFrame:
+    """(conv_id, prefix_len): length of the maximal contiguous run starting
+    at initial_idx, computed from the shared salted/deduped/ranked pass with
+    only tiny per-block aggregate merges."""
+    t = F.col("turn_idx").cast("long")
     block_start = F.col("_block") * block + initial_idx
     in_slot = t == block_start + F.col("_brn") - 1
 
@@ -97,21 +114,16 @@ def salted_ordered_emit_batch(
     df: DataFrame, block: int = 1024, initial_idx: int = 1
 ) -> DataFrame:
     """Two-phase batch ordering; output identical to ordered_emit_batch."""
-    prefix = _per_key_prefix_len(df, block, initial_idx)
+    ranked = _salted_ranked(df, block, initial_idx)
+    prefix = _per_key_prefix_len(ranked, block, initial_idx)
     t = F.col("turn_idx").cast("long")
+    # the shared pass already deduped (first-by-ts per turn) and carries
+    # _block — the release is a broadcast-filter over the checkpointed rows,
+    # no second payload shuffle or dedup window
     released = (
-        df.filter(t >= initial_idx)
-        .join(F.broadcast(prefix), "conv_id")
+        ranked.join(F.broadcast(prefix), "conv_id")
         .filter(t < F.col("prefix_len") + initial_idx)
         .withColumn("emit_seq", t - initial_idx + 1)
-    )
-    # drop duplicate deliveries of released turns (first-by-ts, same rule as
-    # ordered_batch._dedupe; exchange is on (conv_id, turn_idx) → no hot key)
-    w_dup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts")
-    released = (
-        released.withColumn("_dup", F.row_number().over(w_dup))
-        .filter(F.col("_dup") == 1)
-        .withColumn("_block", ((t - initial_idx) / block).cast("long"))
     )
 
     # Running depth snapshot, two-phase like everything else here: block-local
