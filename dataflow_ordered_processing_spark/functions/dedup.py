@@ -232,8 +232,37 @@ def simhash(df: DataFrame, col: str = "text", bits: int = 16) -> DataFrame:
     )
 
 
+def _cc_driver(edges_rows) -> dict:
+    """Union-find with min-label roots over a BOUNDED collected edge list —
+    the driver-side fast path for small pair graphs. Returns
+    {node: min label transitively reachable}."""
+    parent: dict = {}
+
+    def find(x):
+        chain = []
+        while parent.get(x, x) != x:
+            chain.append(x)
+            x = parent[x]
+        for c in chain:  # path compression
+            parent[c] = x
+        return x
+
+    for a, b in edges_rows:
+        ra, rb = find(a), find(b)
+        parent.setdefault(ra, ra)
+        parent.setdefault(rb, rb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in list(parent)}
+
+
 def dedup_clusters(
-    df: DataFrame, pairs: DataFrame, max_iter: int = 50, stats: dict | None = None
+    df: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 50,
+    stats: dict | None = None,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every document
     gets ``cluster_id`` = the MINIMUM doc_id transitively reachable through
@@ -255,6 +284,13 @@ def dedup_clusters(
     converge (with pointer jumping that means a pathological graph far
     beyond any real corpus diameter).
 
+    ``driver_max_edges`` (r8): pair graphs at or below this edge count are
+    resolved with a driver-side union-find over the collected (bounded)
+    edge list instead of the iterative rounds — near-dup graphs are tiny
+    relative to their corpus, and for them the loop is pure fixed overhead.
+    0 disables the fast path (tools/cc_scale_bench.py does, to measure the
+    distributed rounds).
+
     At 100 TB this is the standard Spark shape for the problem (min-id
     propagation à la Kiveris et al. "Connected Components in MapReduce");
     the large-star/small-star variant would cut shuffle volume further on
@@ -268,6 +304,37 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Small-graph fast path (r8): near-dup pair graphs are tiny by nature
+    # (LSH+verify survivors ≪ corpus), and for them the distributed loop is
+    # pure fixed overhead — 2+ rounds × (2 joins + checkpoint + checksum
+    # job). When the ALREADY-MATERIALIZED edge list is bounded, collect it
+    # and run union-find with min-label roots on the driver — the same
+    # bounded-metadata pattern as collecting an IVF codebook — then
+    # broadcast the label map back. The count is O(1)-ish on the
+    # checkpointed edges; graphs above the threshold take the distributed
+    # rounds unchanged (driver_max_edges=0 disables the fast path).
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        from pyspark.sql import types as T
+
+        mapping = _cc_driver(
+            (r["src"], r["dst"]) for r in edges.select("src", "dst").collect()
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["driver_path"] = True
+        out_id = df.select("doc_id")
+        if not mapping:
+            return out_id.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        dt = edges.schema["src"].dataType
+        lab = df.sparkSession.createDataFrame(
+            list(mapping.items()),
+            T.StructType(
+                [T.StructField("doc_id", dt), T.StructField("label", dt)]
+            ),
+        )
+        return out_id.join(F.broadcast(lab), "doc_id", "left").select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+        )
     # nodes touched by any pair; isolated docs join back at the end
     labels = (
         edges.select(F.col("src").alias("doc_id"))

@@ -56,7 +56,7 @@ def main() -> int:
     )
     stats: dict = {}
     t0 = time.time()
-    labels = dedup_clusters(docs, chain, max_iter=64, stats=stats)
+    labels = dedup_clusters(docs, chain, max_iter=64, stats=stats, driver_max_edges=0)
     wrong = labels.filter(F.col("cluster_id") != 0).count()
     wall = round(time.time() - t0, 2)
     results["single_chain"] = {
@@ -81,7 +81,7 @@ def main() -> int:
     mixed = chain_edges.unionByName(star_edges)
     stats2: dict = {}
     t0 = time.time()
-    labels2 = dedup_clusters(docs, mixed, max_iter=64, stats=stats2)
+    labels2 = dedup_clusters(docs, mixed, max_iter=64, stats=stats2, driver_max_edges=0)
     # correctness: every chain member labels to its chain start, every star
     # member to its hub
     exp_chain = (F.col("doc_id") / 50).cast("long") * 50
