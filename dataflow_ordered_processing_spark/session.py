@@ -219,6 +219,26 @@ def _warm_session(spark: SparkSession, n_threads: int) -> None:
             )
             q.awaitTermination()
             spark.catalog.dropTempView("_session_warmup")
+            # the sharded engine and the watermarked dedup compile their own
+            # state/codegen shapes — one 3-row pass each over the same stage
+            from .streaming import ordered_stream_sharded
+            from .streaming.windows import stream_dedup_turns
+
+            for name, build in (
+                ("_session_warmup_sh", lambda s: ordered_stream_sharded(s, n_shards=8)),
+                ("_session_warmup_dd", lambda s: stream_dedup_turns(s, watermark="1 minute")),
+            ):
+                src2 = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stage)
+                q2 = (
+                    build(src2)
+                    .writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(name)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q2.awaitTermination()
+                spark.catalog.dropTempView(name)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
     except Exception:
