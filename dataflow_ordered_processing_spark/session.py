@@ -187,8 +187,99 @@ def _warm_session(spark: SparkSession, n_threads: int) -> None:
             _noop(ordered_emit_batch(arrival, impl="sql"))
             _noop(ordered_status_batch(arrival))
             _noop(salted_ordered_emit_batch(arrival, block=64))
+
+            # CEP batch pattern classes (strict / skip+within / quantified
+            # skip) with the same step predicates the declared queries use
+            from .operators.cep_core import Step, Times
+            from .plans.cep import match_pattern
+
+            _noop(
+                match_pattern(
+                    t,
+                    [
+                        Step("u", role="user"),
+                        Step("a", role="assistant"),
+                        Step("c", role="tool", tool="code"),
+                    ],
+                    mode="strict",
+                )
+            )
+            _noop(
+                match_pattern(
+                    t,
+                    [
+                        Step("u", role="user"),
+                        Step("s", role="tool", tool="search"),
+                        Step("a", role="assistant"),
+                    ],
+                    mode="skip",
+                    within=200_000,
+                )
+            )
+            _noop(
+                match_pattern(
+                    t,
+                    [
+                        Times(
+                            (
+                                "h",
+                                "substr(md5(concat(conv_id, ':', "
+                                "CAST(turn_idx AS STRING), ':q')), 1, 1) >= '8'",
+                            ),
+                            3,
+                            None,
+                        ),
+                        Step("u", role="user"),
+                    ],
+                    mode="skip",
+                    within_turns=12,
+                )
+            )
         finally:
             _shutil.rmtree(warm_sf, ignore_errors=True)
+
+        # dedup/text/ANN shapes over tiny synthetic docs and embeddings
+        # (schemas match the driver tables so the generated code matches)
+        from .functions import dedup as _dedup
+        from .functions import similarity as _sim
+        from .functions import text as _text
+
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    ("alpha beta gamma delta epsilon zeta eta theta " * 3)
+                    + f"doc {i}",
+                    "en",
+                    f"src{i % 3}",
+                    100,
+                )
+                for i in range(6)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        _noop(_dedup.dedup_exact(docs))
+        _noop(_dedup.simhash(docs))
+        pairs = _dedup.minhash_lsh_pairs(docs, k=8, bands=4)
+        _noop(_dedup.ngram_jaccard(pairs, docs, shingle=3))
+        _noop(_text.quality_score(docs))
+        _noop(_text.lang_id(docs))
+        _noop(_text.decontaminate(docs, docs.limit(2)))
+
+        embs = spark.createDataFrame(
+            [
+                (i, [float((i * 7 + j) % 13) / 13.0 for j in range(64)], 0)
+                for i in range(16)
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        qs = embs.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        _noop(_sim.brute_force_topk(embs, qs, k=5))
+        _noop(_sim.lsh_topk(embs, qs, k=5, n_planes=4, n_tables=2, multiprobe=True))
+        _noop(_sim.ivf_topk(embs, qs, k=5, n_cells=8, n_probe=2, train_iters=3))
 
         # streaming machinery: a 3-row staged replay through the REAL
         # stateful operator (applyInPandasWithState + memory sink +
@@ -241,9 +332,13 @@ def _warm_session(spark: SparkSession, n_threads: int) -> None:
                 spark.catalog.dropTempView(name)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-    except Exception:
-        # best-effort: a warm-up failure must never block session creation
-        pass
+    except Exception as e:
+        # best-effort: a warm-up failure must never block session creation,
+        # but it should not be invisible either (a broken warm shape only
+        # forfeits the warm benefit for everything after it)
+        import sys as _sys
+
+        print(f"[session] warm-up incomplete: {type(e).__name__}: {e}", file=_sys.stderr)
     finally:
         spark.sparkContext.setJobDescription(None)
 
