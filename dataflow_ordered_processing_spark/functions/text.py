@@ -424,6 +424,11 @@ def pack_sequences(
 
     Output: (doc_id, n_tokens, seq_id, token_offset).
     """
+    if int(max_tokens) < 1:
+        # ADVICE r7: max_tokens=0 would make the `_cum DIV max_tokens` /
+        # pmod projections emit NULL seq_id/token_offset silently — fail at
+        # config time like the function's other validations
+        raise ValueError(f"pack_sequences max_tokens must be >= 1, got {max_tokens}")
     if not any(
         f.name == order and f.dataType.typeName() in
         ("integer", "long", "short", "byte", "double", "float", "decimal",

@@ -234,12 +234,16 @@ def match_strict(
     # <= k-1 and the suppression branch below is currently DEAD —
     # cross-batch exactly-once rests on window geometry (no k-row window
     # fits inside a <k-row carry). The branch stays as defense-in-depth for
-    # a future longer-carry change; this assert makes such a change fail
+    # a future longer-carry change; this guard makes such a change fail
     # loudly instead of silently relying on the untested suppression path.
-    assert first_new_end <= k - 1, (
-        f"carry longer than k-1 ({first_new_end} rows, k={k}): the "
-        "carry-boundary suppression below is untested — audit it first"
-    )
+    # RuntimeError, not assert (ADVICE r7): an assert vanishes under
+    # python -O, silently re-enabling the untested branch, and this must
+    # hold in production too.
+    if first_new_end > k - 1:
+        raise RuntimeError(
+            f"carry longer than k-1 ({first_new_end} rows, k={k}): the "
+            "carry-boundary suppression below is untested — audit it first"
+        )
     if first_new_end > k - 1:
         ok[: first_new_end - (k - 1)] = False
     ts = np.asarray(full["ts_us"], dtype=np.int64)
@@ -858,6 +862,18 @@ def expand_strict_times(steps) -> list:
                 )
             else:
                 out.append((f"{s.name}_{j + 1}", s.sql))
+    # ADVICE r7: a quantified step 'a' expands to a_1..a_n, which can
+    # collide with a user-supplied literal step named 'a_1' — that would
+    # trip the downstream unique-name check with an opaque message (or
+    # worse, duplicate <name>_idx output columns). Fail descriptively here.
+    names = [s.name if isinstance(s, (Step, Times)) else str(s[0]) for s in out]
+    if len(set(names)) != len(names):
+        dup = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"expanding quantified step(s) produced duplicate step names "
+            f"{dup}: a times(n) step named 'x' generates x_1..x_n — rename "
+            "the literal step(s) that collide with that numbering"
+        )
     return out
 
 

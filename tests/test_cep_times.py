@@ -278,3 +278,16 @@ def test_quant_plan_shape(spark):
 
     for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
         assert m.group(1) in ("hashpartitioning", "SinglePartition"), plan
+
+
+def test_strict_times_expansion_name_collision_raises():
+    """ADVICE r7 hardening: a quantified step 'a' expands to a_1..a_n; a
+    literal step already named 'a_1' must fail with a descriptive error,
+    not the generic unique-name check (or duplicated <name>_idx columns)."""
+    from dataflow_ordered_processing_spark.operators.cep_core import (
+        expand_strict_times,
+    )
+
+    steps = [Times(Step("a", role="user"), 2, 2), Step("a_1", role="assistant")]
+    with pytest.raises(ValueError, match="duplicate step names"):
+        expand_strict_times(steps)

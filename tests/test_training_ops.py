@@ -152,3 +152,15 @@ def test_pack_sequences_sparse_order_and_ties(spark):
             8,
             order="text",
         )
+
+
+def test_pack_sequences_rejects_nonpositive_max_tokens(spark):
+    """ADVICE r7 hardening: max_tokens=0 used to emit NULL
+    seq_id/token_offset silently (DIV 0 / pmod 0); it must raise at entry."""
+    import pytest
+
+    from dataflow_ordered_processing_spark.functions import text
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_tokens"):
+        text.pack_sequences(docs, 0)
